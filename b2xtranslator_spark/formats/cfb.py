@@ -88,11 +88,15 @@ class CompoundFile:
         self._minifat: np.ndarray | None = None
         self._mini_stream: bytes | None = None
         self._dir_entries = self._read_directory()
+        # name lookup prefers ROOT-LEVEL streams: nested storages (ObjectPool
+        # sub-documents) may contain identically-named streams, and the
+        # reference resolves by path from the root (StructuredStorageReader)
         self._by_name: dict[str, DirectoryEntry] = {}
-        for e in self._dir_entries:
-            if e.type == STGTY_STREAM:
-                self._by_name.setdefault(e.name, e)
-                self._by_name.setdefault(e.name.lower(), e)
+        for top_level in (True, False):
+            for e in self._dir_entries:
+                if e.type == STGTY_STREAM and (e.path == e.name) == top_level:
+                    self._by_name.setdefault(e.name, e)
+                    self._by_name.setdefault(e.name.lower(), e)
 
     # -- sector primitives ------------------------------------------------
 
@@ -156,11 +160,18 @@ class CompoundFile:
         entries: list[DirectoryEntry] = []
         for sid in range(len(raw) // 128):
             off = sid * 128
+            # DirectoryEntry.cs:38-44: decode the full 64-byte name field,
+            # truncate at the first NUL, then apply the declared length if
+            # plausible
+            raw_name = raw[off : off + 64].decode("utf-16-le", errors="replace")
+            nul = raw_name.find("\x00")
+            if nul >= 0:
+                raw_name = raw_name[:nul]
             (name_len,) = struct.unpack_from("<H", raw, off + 64)
-            name_len = min(name_len, 64)
-            name = raw[off : off + max(0, name_len - 2)].decode(
-                "utf-16-le", errors="replace"
-            )
+            n_chars = (name_len // 2) - 1
+            if n_chars > len(raw_name) or n_chars < 0:
+                n_chars = len(raw_name)
+            name = raw_name[:n_chars]
             etype = raw[off + 66]
             left, right, child = struct.unpack_from("<3I", raw, off + 68)
             (start_sector,) = struct.unpack_from("<I", raw, off + 116)

@@ -52,25 +52,31 @@ _WINGDINGS_FONT = {
 }
 
 
-def _fallback(char_code: int, font_name: str) -> str:
+def _fallback(char_code: int, identity_high: bool) -> str:
     if 32 < char_code < 127:
+        return chr(char_code)
+    if char_code > 127 and identity_high:
+        # identity pass-through for the Symbol font: matches the expected
+        # fixtures (samples/symbol.expected.txt carries U+0080..U+00FF for
+        # unmapped codes) where the reference's current '?' is one of its
+        # tracked regressions (failing-samples.txt: symbol.actual.txt);
+        # Wingdings fixtures expect '?' (samples/wingding.expected.txt)
         return chr(char_code)
     return "?"
 
 
 def convert_symbol_character(char_code: int, font_name: str | None) -> str:
-    if not font_name:
-        return _fallback(char_code, font_name or "")
-    normalized = font_name.lower()
+    normalized = (font_name or "").lower()
     if normalized == "symbol":
         hit = _SYMBOL_FONT.get(char_code)
         if hit is not None:
             return hit
-    elif normalized == "wingdings":
+        return _fallback(char_code, True)
+    if normalized == "wingdings":
         hit = _WINGDINGS_FONT.get(char_code)
         if hit is not None:
             return hit
-    return _fallback(char_code, font_name)
+    return _fallback(char_code, False)
 
 
 def convert_symbol_hex(hex_value: str, font_name: str | None) -> str:
