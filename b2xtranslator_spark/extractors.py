@@ -1,0 +1,65 @@
+"""Per-payload format dispatch: one binary document in, plain text out.
+
+This is the pure-Python core the Spark pipeline batches over (SURVEY.md
+§2.10): callable without Spark for pytest parity with the reference's sample
+corpus. Dispatch mirrors the reference shells: a CFB container with a
+``WordDocument`` stream is a .doc (doc2text), ``Workbook``/``Book`` is a .xls
+(xls2x front-end), ``PowerPoint Document`` is a .ppt (ppt2x front-end).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from .formats import cfb
+from .formats.ppt import extract_ppt_text_from_storage
+from .formats.word.extract import extract_doc_text_parts, normalize_text
+from .formats.xls import extract_xls_text_from_storage
+
+__all__ = ["ExtractResult", "extract_payload_text", "normalize_text"]
+
+
+@dataclass
+class ExtractResult:
+    text: str = ""
+    status: str = "ok"
+    error: str | None = None
+    kind: str = "unknown"
+    metrics: dict = field(default_factory=dict)
+
+
+def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractResult:
+    """Extract plain text from one binary document payload.
+
+    Never raises: per-document failure tolerance is a row-level contract
+    (reference: per-file try/catch in Shell/doc2text/Program.cs:56-100 —
+    at corpus scale one hostile document must not fail a task)."""
+    t0 = time.perf_counter()
+    res = ExtractResult()
+    try:
+        storage = cfb.CompoundFile(payload)  # raises the magic-number error
+        if storage.has_stream("WordDocument"):
+            res.kind = "doc"
+            res.text, spans, records = extract_doc_text_parts(storage, extract_urls)
+            res.metrics["spans"] = spans
+            res.metrics["records_decoded"] = records
+        elif storage.has_stream("Workbook") or storage.has_stream("Book"):
+            res.kind = "xls"
+            res.text = extract_xls_text_from_storage(storage)
+        elif storage.has_stream("PowerPoint Document"):
+            res.kind = "ppt"
+            res.text = extract_ppt_text_from_storage(storage)
+        else:
+            res.status = "unsupported"
+            res.error = "no recognized document stream in container"
+    except Exception as exc:  # noqa: BLE001 — row-level tolerance by design
+        msg = str(exc)
+        if "encrypted" in msg.lower():
+            res.status = "encrypted"
+        else:
+            res.status = "parse_error"
+        res.error = msg
+    res.metrics["bytes_decoded"] = len(payload)
+    res.metrics["wall_ms"] = int((time.perf_counter() - t0) * 1000)
+    return res

@@ -30,17 +30,41 @@ def extract_doc_text(payload: bytes, extract_urls: bool = True) -> str:
 def extract_doc_text_from_storage(
     storage: CompoundFile, extract_urls: bool = True
 ) -> str:
+    return extract_doc_text_parts(storage, extract_urls)[0]
+
+
+def extract_doc_text_parts(
+    storage: CompoundFile, extract_urls: bool = True
+) -> tuple[str, list[tuple[str, int, int]], int]:
+    """Extract text plus per-subdocument span offsets and a decoded-record
+    count (pieces + property runs), for the pipeline's spans/metrics columns
+    (FIXTURES.md \u00a74)."""
     doc = WordBinaryDocument(storage)
     writer = TextEventWriter(extract_urls)
     shared = {"textbox_count": 0}
 
-    apply_main(DocumentMapping(doc, writer, extract_urls, "main", shared))
-    apply_footnotes(DocumentMapping(doc, writer, extract_urls, "footnotes", shared))
-    apply_endnotes(DocumentMapping(doc, writer, extract_urls, "endnotes", shared))
-    apply_comments(DocumentMapping(doc, writer, extract_urls, "comments", shared))
+    spans: list[tuple[str, int, int]] = []
+    mark = 0
 
-    # final en-space cleanup (DocTextExtractor.cs:105)
-    return writer.to_string().replace(" ", " ")
+    def _run(part: str, fn, kind: str) -> None:
+        nonlocal mark
+        fn(DocumentMapping(doc, writer, extract_urls, kind, shared))
+        end = writer.current_length()
+        if end > mark:
+            spans.append((part, mark, end))
+        mark = end
+
+    _run("main", apply_main, "main")
+    _run("footnotes", apply_footnotes, "footnotes")
+    _run("endnotes", apply_endnotes, "endnotes")
+    _run("comments", apply_comments, "comments")
+
+    records = len(doc.piece_table.pieces) + len(doc.all_papx)
+    records += sum(len(f.grpchpx) for f in doc.chpx_index.fkps)
+
+    # final en-space cleanup (DocTextExtractor.cs:105); length-preserving, so
+    # the span offsets remain valid
+    return writer.to_string().replace("\u2002", " "), spans, records
 
 
 def normalize_text(text: str | None) -> str | None:

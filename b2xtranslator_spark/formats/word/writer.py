@@ -149,6 +149,12 @@ class TextEventWriter:
             self.end_element()
         return "".join(self._root.pure)
 
+    def current_length(self) -> int:
+        """Length of text accumulated at the root so far. Only meaningful
+        between mappings (each mapping balances its elements), which is when
+        the extraction layer snapshots subdocument span boundaries."""
+        return sum(len(s) for s in self._root.pure)
+
     # -- hyperlink machinery (TextWriter.cs:354-474) --------------------------
 
     def _begin_field_result(self) -> None:

@@ -1,0 +1,103 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All operators are pure Catalyst expressions (JVM-side, whole-stage codegen,
+no Python in the hot path) over the `documents` table
+(doc_id, text, lang, source, n_chars). Each has an exact ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` so DuckDB verifies it row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small language-marker lexicons for the n-gram/stopword language heuristic;
+# chosen to be expressible identically in Spark SQL and DuckDB SQL
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "pour", "une", "que"],
+    "es": ["el", "la", "los", "las", "es", "por", "para", "una", "con", "del"],
+}
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic)."""
+    return documents.select(
+        "doc_id",
+        F.size(_words()).alias("n_tokens"),
+        (F.length("text") / F.lit(4)).cast("double").alias("bpe_tokens_est"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: distinct-marker intersection counts
+    per language, argmax with deterministic tiebreak by language code."""
+    words = _words()
+    hits = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in STOPWORDS.items()
+    }
+    # deterministic argmax: order by (hits desc, lang asc)
+    pairs = F.array(
+        *[F.struct(hits[lang].alias("hits"), F.lit(lang).alias("lang"))
+          for lang in sorted(STOPWORDS)]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return documents.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("int").alias("marker_hits"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score; mirrors common pretraining-corpus quality filters."""
+    n_chars = F.length("text")
+    words = _words()
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    punct_chars = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    en_stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    alpha_ratio = (alpha_chars / F.greatest(n_chars, F.lit(1))).cast("double")
+    punct_ratio = (punct_chars / F.greatest(n_chars, F.lit(1))).cast("double")
+    mean_word_len = (n_chars / F.greatest(n_words, F.lit(1))).cast("double")
+    stop_ratio = (en_stop_hits / F.lit(10.0)).cast("double")
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * F.least(mean_word_len / F.lit(10.0), F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    ).cast("double")
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercased text
+    (md5 is bit-identical across Spark and DuckDB, unlike xxhash64)."""
+    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return documents.select(
+        "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fp")
+    )

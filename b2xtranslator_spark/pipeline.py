@@ -1,0 +1,283 @@
+"""Spark extraction pipeline: transcripts in, extracted text + spans out.
+
+Architecture (SURVEY.md §3 "Spark lifecycle"):
+
+    read transcripts (column-pruned)
+      -> salt & repartition by conv_id        (skew defense: oversized
+                                               attachment conversations split
+                                               across tasks)
+      -> mapInPandas(extract_turns)           (Arrow batches; pure per-
+                                               document map; no shuffle)
+      -> write partitioned by conv_bucket,
+         sorted within partitions by (conv_id, turn_idx)
+
+plus bucket-group checkpointing so a killed run resumes without recomputing
+completed groups (Iceberg-snapshot-per-commit semantics expressed over
+parquet staging in this sandbox; the commit unit is a deterministic
+hash-bucket group, idempotent under retry).
+
+The per-document decode is a scalar black box to Catalyst (SURVEY.md §4): no
+custom rules, no RDDs, no driver-side loops over rows.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_PREFIX = "b64cfb:"
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("part", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+        ]
+    )
+)
+
+METRICS_TYPE = StructType(
+    [
+        StructField("docs_parsed", IntegerType()),
+        StructField("records_decoded", LongType()),
+        StructField("bytes_decoded", LongType()),
+        StructField("failures", IntegerType()),
+        StructField("wall_ms", LongType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("metrics", METRICS_TYPE),
+    ]
+)
+
+
+def _extract_one(text: str | None, tool: str | None) -> tuple:
+    """Extract a single turn. Payload may arrive in `text` OR `tool`
+    (BASELINE.json input_hint); non-payload turns pass through."""
+    from .extractors import extract_payload_text
+
+    src = None
+    for candidate in (text, tool):
+        if candidate and candidate.startswith(PAYLOAD_PREFIX):
+            src = candidate
+            break
+    if src is None:
+        passthrough = text or ""
+        return (
+            passthrough,
+            [("main", 0, len(passthrough))],
+            "skipped",
+            None,
+            (0, 0, len(passthrough), 0, 0),
+        )
+    try:
+        payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])
+    except Exception as exc:  # malformed base64 is a row error, not a task error
+        return ("", [], "parse_error", f"base64: {exc}", (0, 0, 0, 1, 0))
+    res = extract_payload_text(payload)
+    spans = res.metrics.get("spans") or [("main", 0, len(res.text))]
+    failures = 0 if res.status in ("ok", "skipped") else 1
+    return (
+        res.text,
+        spans,
+        res.status,
+        res.error,
+        (
+            1 if res.status == "ok" else 0,
+            int(res.metrics.get("records_decoded", 0)),
+            int(res.metrics.get("bytes_decoded", 0)),
+            failures,
+            int(res.metrics.get("wall_ms", 0)),
+        ),
+    )
+
+
+def extract_turns(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch of turns in, one batch of
+    extracted rows out. All per-byte work happens in the pure-Python parser
+    core on whole payloads (vectorized decode tables inside); pandas only
+    carries columns."""
+    for pdf in batches:
+        texts, spans, statuses, errors, metrics = [], [], [], [], []
+        for text, tool in zip(pdf["text"].values, pdf["tool"].values):
+            t, s, st, err, m = _extract_one(text, tool)
+            texts.append(t)
+            spans.append(s)
+            statuses.append(st)
+            errors.append(err)
+            metrics.append(m)
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "text": texts,
+                "spans": spans,
+                "status": statuses,
+                "error": errors,
+                "metrics": metrics,
+            }
+        )
+
+
+def run_extraction(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    salt_buckets: int = 4,
+) -> DataFrame:
+    """Salted repartition + Arrow-batched extraction.
+
+    The repartition key is (conv_id, salt(turn_idx)): most conversations stay
+    co-located while a 1000-turn conversation of 10MB attachments splits
+    across `salt_buckets` tasks (north_star skew requirement)."""
+    spark = transcripts.sparkSession
+    pruned = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    salted = pruned.repartition(
+        n,
+        F.col("conv_id"),
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)),
+    )
+    return salted.mapInPandas(extract_turns, schema=EXTRACTED_SCHEMA)
+
+
+def write_extracted(extracted: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Sink (SURVEY.md §2.1 S9): partitioned by conv_id hash bucket, stable
+    (conv_id, turn_idx) order within files."""
+    (
+        extracted.withColumn(
+            "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+        )
+        .repartition("conv_bucket")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("conv_bucket")
+        .parquet(path)
+    )
+
+
+# -- checkpointed run (resume without recompute) --------------------------------
+
+
+def run_with_checkpoints(
+    spark: SparkSession,
+    transcripts_path: str,
+    out_dir: str,
+    run_id: str,
+    n_groups: int = 8,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Process the corpus in deterministic hash-bucket groups; each group is
+    one Spark job committed with an idempotent overwrite + a checkpoint row.
+    Re-running with the same run_id skips completed groups (FIXTURES.md §5).
+
+    fail_after_groups is a test hook simulating a killed run."""
+    ckpt_path = os.path.join(out_dir, "_checkpoints")
+    done: set[int] = set()
+    try:
+        ckpt = spark.read.parquet(ckpt_path)
+        done = {
+            r["partition_id"]
+            for r in ckpt.where(
+                (F.col("run_id") == run_id) & (F.col("state") == "done")
+            ).collect()
+        }
+    except Exception:
+        pass  # first run: no checkpoint table yet
+
+    transcripts = spark.read.parquet(transcripts_path)
+    group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    processed = 0
+    stats = {"groups_run": 0, "groups_skipped": len(done)}
+    for group in range(n_groups):
+        if group in done:
+            continue
+        if fail_after_groups is not None and processed >= fail_after_groups:
+            stats["killed"] = True
+            return stats
+        subset = transcripts.where(group_col == group)
+        extracted = run_extraction(subset)
+        group_out = os.path.join(out_dir, f"group={group}")
+        (
+            extracted.sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .parquet(group_out)
+        )
+        # lineage + metrics row; append is safe because resume filters on
+        # (run_id, state, partition_id) and group commits are idempotent
+        agg = (
+            spark.read.parquet(group_out)
+            .agg(
+                F.count("*").alias("turns"),
+                F.sum("metrics.docs_parsed").alias("docs_parsed"),
+                F.sum("metrics.records_decoded").alias("records_decoded"),
+                F.sum("metrics.failures").alias("failures"),
+            )
+            .collect()[0]
+        )
+        row = [
+            (
+                run_id,
+                group,
+                group,
+                "done",
+                int(agg["docs_parsed"] or 0),
+                int(agg["records_decoded"] or 0),
+                int(agg["failures"] or 0),
+                int(time.time() * 1000),
+            )
+        ]
+        spark.createDataFrame(
+            row,
+            "run_id string, partition_id int, conv_bucket int, state string, "
+            "docs_parsed long, records_decoded long, failures long, ts long",
+        ).coalesce(1).write.mode("append").parquet(ckpt_path)
+        processed += 1
+        stats["groups_run"] += 1
+    return stats
+
+
+def read_extracted(spark: SparkSession, out_dir: str, n_groups: int = 8) -> DataFrame:
+    paths = [
+        os.path.join(out_dir, f"group={g}")
+        for g in range(n_groups)
+        if os.path.isdir(os.path.join(out_dir, f"group={g}"))
+    ]
+    return spark.read.parquet(*paths)
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Run-level metrics aggregation (SURVEY.md §2.4 A3/A4): Catalyst's
+    built-in partial+final hash aggregate, no custom code."""
+    return extracted.agg(
+        F.count("*").alias("turns"),
+        F.sum("metrics.docs_parsed").alias("docs_parsed"),
+        F.sum("metrics.records_decoded").alias("records_decoded"),
+        F.sum("metrics.bytes_decoded").alias("bytes_decoded"),
+        F.sum("metrics.failures").alias("failures"),
+        F.sum(F.when(F.col("status") == "encrypted", 1).otherwise(0)).alias(
+            "encrypted"
+        ),
+    )

@@ -1,0 +1,176 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §2-3).
+
+Shape is exactly the BASELINE.json input_hint:
+``transcripts(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)``. Document-bearing turns carry
+``b64cfb:<base64 of a reference sample .doc>`` in `text` or `tool`;
+other turns carry plain chat filler.
+
+Driver-side state is kept to integer skeleton arrays (numpy, seeded);
+payloads are attached Spark-side by a broadcast join against a 206-row
+payload dimension — the generator never materializes payload-per-row on
+the driver, so it scales to arbitrarily many turns.
+"""
+
+from __future__ import annotations
+
+import base64
+import codecs
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SAMPLES_DIR = "/root/reference/samples"
+FILLER = [
+    "ok, looking into it now",
+    "here is the summary you asked for",
+    "running the conversion tool on the attachment",
+    "can you re-send the document?",
+    "done - see extracted text below",
+]
+
+
+def _read_expected(path: str) -> str:
+    raw = open(path, "rb").read()
+    if raw.startswith(codecs.BOM_UTF16_LE) or raw.startswith(codecs.BOM_UTF16_BE):
+        return raw.decode("utf-16")
+    if raw.startswith(codecs.BOM_UTF8):
+        return raw.decode("utf-8-sig")
+    return raw.decode("utf-8", errors="replace")
+
+
+def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
+    """All (sample_idx, name, payload_b64, expected_text, expect_error) rows,
+    ordered deterministically by file name."""
+    from ..formats.word.extract import normalize_text
+
+    rows = []
+    for doc in sorted(glob.glob(f"{samples_dir}/*.doc")):
+        expected_path = doc[:-4] + ".expected.txt"
+        if not os.path.exists(expected_path):
+            continue
+        idx = len(rows)
+        payload = open(doc, "rb").read()
+        expected = normalize_text(_read_expected(expected_path)) or ""
+        expect_error = "encrypted" in expected.lower() or "password" in os.path.basename(
+            doc
+        )
+        rows.append(
+            {
+                "sample_idx": idx,
+                "sample_name": os.path.basename(doc),
+                "payload_b64": "b64cfb:" + base64.b64encode(payload).decode("ascii"),
+                "expected_text": expected,
+                "expect_error": expect_error,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _skeleton(n_turns: int, doc_fraction: float, seed: int, n_samples: int) -> pd.DataFrame:
+    """Integer skeleton: conv assignment with skew (80% of conversations have
+    1-5 turns, a long tail has hundreds — exercises the salting path), plus
+    deterministic sample assignment and payload-column choice."""
+    rng = np.random.default_rng(seed)
+    conv_sizes = []
+    total = 0
+    conv_no = 0
+    while total < n_turns:
+        if rng.random() < 0.02:
+            size = int(rng.integers(100, 1000))
+        elif rng.random() < 0.8:
+            size = int(rng.integers(1, 6))
+        else:
+            size = int(rng.integers(6, 40))
+        size = min(size, n_turns - total)
+        conv_sizes.append(size)
+        total += size
+        conv_no += 1
+    conv_ids = np.repeat(np.arange(len(conv_sizes)), conv_sizes)
+    turn_idx = np.concatenate([np.arange(s) for s in conv_sizes])
+    is_doc = rng.random(n_turns) < doc_fraction
+    # payload position: hash(conv, turn) % n_samples, reruns identical
+    sample_idx = (conv_ids * 1315423911 + turn_idx * 2654435761) % max(1, n_samples)
+    sample_idx = np.where(is_doc, sample_idx, -1)
+    in_tool = rng.random(n_turns) < 0.3  # some docs arrive via the tool column
+    filler_idx = (conv_ids + turn_idx) % len(FILLER)
+    pdf = pd.DataFrame(
+        {
+            "conv_no": conv_ids.astype(np.int64),
+            "turn_idx": turn_idx.astype(np.int32),
+            "sample_idx": sample_idx.astype(np.int64),
+            "in_tool": in_tool,
+            "filler_idx": filler_idx.astype(np.int32),
+            "row_id": np.arange(n_turns, dtype=np.int64),
+        }
+    )
+    # shuffle rows on write so stable-ordering logic is actually exercised
+    return pdf.iloc[rng.permutation(n_turns)].reset_index(drop=True)
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    n_turns: int = 5000,
+    doc_fraction: float = 0.5,
+    seed: int = 42,
+    corpus: pd.DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (transcripts, expected). `expected` carries the per-turn
+    oracle rows for document-bearing turns (FIXTURES.md §3)."""
+    if corpus is None:
+        corpus = load_sample_corpus()
+    skeleton = spark.createDataFrame(
+        _skeleton(n_turns, doc_fraction, seed, len(corpus))
+    )
+    payloads = spark.createDataFrame(
+        corpus[["sample_idx", "sample_name", "payload_b64"]]
+    )
+    filler = spark.createDataFrame(
+        pd.DataFrame({"filler_idx": range(len(FILLER)), "filler": FILLER})
+    )
+
+    joined = (
+        skeleton.join(F.broadcast(payloads), "sample_idx", "left")
+        .join(F.broadcast(filler), "filler_idx", "left")
+        .withColumn("conv_id", F.format_string("conv-%06d", F.col("conv_no")))
+        .withColumn(
+            "role",
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("turn_idx") % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("has_doc", F.col("sample_idx") >= 0)
+        .withColumn(
+            "text",
+            F.when(F.col("has_doc") & ~F.col("in_tool"), F.col("payload_b64"))
+            .otherwise(F.col("filler")),
+        )
+        .withColumn(
+            "tool",
+            F.when(F.col("has_doc") & F.col("in_tool"), F.col("payload_b64"))
+            .otherwise(F.lit("")),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1767225600) + F.col("row_id")  # 2026-01-01T00:00:00Z + row s
+            ),
+        )
+    )
+    transcripts = joined.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    expected_dim = spark.createDataFrame(
+        corpus[["sample_idx", "sample_name", "expected_text", "expect_error"]]
+    )
+    expected = (
+        joined.where(F.col("has_doc"))
+        .select("conv_id", "turn_idx", "sample_idx")
+        .join(F.broadcast(expected_dim), "sample_idx")
+        .select("conv_id", "turn_idx", "sample_name", "expected_text", "expect_error")
+    )
+    return transcripts, expected

@@ -1,0 +1,90 @@
+"""Tier-3: checkpoint/resume — kill after the first commits, re-run with the
+same run_id, assert completed groups are not recomputed and the final output
+equals an uninterrupted run (FIXTURES.md §6.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from b2xtranslator_spark.pipeline import (
+    read_extracted,
+    run_with_checkpoints,
+)
+from b2xtranslator_spark.sources.transcripts import (
+    load_sample_corpus,
+    synthesize_transcripts,
+)
+
+N_GROUPS = 4
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    corpus = load_sample_corpus()
+    if corpus.empty:
+        pytest.skip("reference sample corpus unavailable")
+    path = str(tmp_path_factory.mktemp("transcripts") / "t.parquet")
+    transcripts, _ = synthesize_transcripts(
+        spark, n_turns=400, doc_fraction=0.3, corpus=corpus
+    )
+    transcripts.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _canonical(df):
+    return (
+        df.select("conv_id", "turn_idx", "text", "status")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+
+
+def test_resume_skips_completed_and_matches_uninterrupted(
+    spark, transcripts_path, tmp_path_factory
+):
+    out_killed = str(tmp_path_factory.mktemp("out_killed"))
+    out_clean = str(tmp_path_factory.mktemp("out_clean"))
+
+    # uninterrupted reference run
+    stats = run_with_checkpoints(
+        spark, transcripts_path, out_clean, run_id="r1", n_groups=N_GROUPS
+    )
+    assert stats["groups_run"] == N_GROUPS
+
+    # killed mid-run after 2 group commits
+    stats = run_with_checkpoints(
+        spark,
+        transcripts_path,
+        out_killed,
+        run_id="r2",
+        n_groups=N_GROUPS,
+        fail_after_groups=2,
+    )
+    assert stats.get("killed") and stats["groups_run"] == 2
+
+    # resume: only the remaining groups run
+    stats = run_with_checkpoints(
+        spark, transcripts_path, out_killed, run_id="r2", n_groups=N_GROUPS
+    )
+    assert stats["groups_skipped"] == 2
+    assert stats["groups_run"] == N_GROUPS - 2
+
+    a = _canonical(read_extracted(spark, out_killed, N_GROUPS))
+    b = _canonical(read_extracted(spark, out_clean, N_GROUPS))
+    assert a.equals(b)
+
+    # checkpoint table carries lineage + metrics
+    ckpt = spark.read.parquet(f"{out_killed}/_checkpoints")
+    rows = ckpt.where(F.col("run_id") == "r2").collect()
+    assert len(rows) == N_GROUPS
+    assert all(r["state"] == "done" for r in rows)
+    assert sum(r["docs_parsed"] for r in rows) > 0
+
+
+def test_rerun_same_run_id_is_noop(spark, transcripts_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out_noop"))
+    run_with_checkpoints(spark, transcripts_path, out, run_id="r3", n_groups=2)
+    stats = run_with_checkpoints(spark, transcripts_path, out, run_id="r3", n_groups=2)
+    assert stats["groups_run"] == 0
+    assert stats["groups_skipped"] == 2
