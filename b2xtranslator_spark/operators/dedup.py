@@ -1,0 +1,203 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Four families over the `documents` table, all shuffle-conscious:
+
+- exact: hash-groupBy on a normalized fingerprint (1 shuffle, map-side
+  partial agg; oracle-checkable via md5)
+- minhash + LSH: shingle -> 64-bit hashes -> per-band min -> band-bucket
+  join; candidate pairs only ever co-group within a band bucket, so the
+  shuffle is O(docs x bands) rows, never O(docs^2)
+- simhash: 64-bit sign-aggregated token hashes; near-dups share the value
+  (or a band of it)
+- n-gram Jaccard: exact verify on small candidate sets via a distinct-token
+  self-join (oracle-checkable)
+- embedding cosine near-dup: exact pair similarity over `embeddings`
+  (oracle-checkable via DuckDB list_cosine_similarity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text():
+    return F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups: normalized-text md5, keeper = min doc_id per
+    group (groups of size 1 included so the fingerprint+groupBy semantics are
+    verifiable on corpora without duplicates)."""
+    return (
+        documents.select("doc_id", F.md5(F.encode(_norm_text(), "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, shingle_len: int = 4
+) -> DataFrame:
+    """MinHash signatures via word shingles and seeded xxhash64.
+
+    shingles: sliding windows of `shingle_len` words; one explode, then a
+    single groupBy computes ALL minima map-side (partial agg) — no per-hash
+    shuffle."""
+    words = F.split(_norm_text(), " ")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - shingle_len, F.lit(0))
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
+    )
+    exploded = documents.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_len: int = 4,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs sharing
+    any band bucket become a candidate pair (a < b)."""
+    sig = minhash_signatures(documents, num_hashes, shingle_len)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash: per-token 64-bit hash, per-bit +/-1 vote, sign -> bit.
+
+    One explode + one groupBy; the per-bit votes are computed as an array
+    aggregation inside Catalyst (no Python)."""
+    words = F.split(_norm_text(), " ")
+    tok = documents.select("doc_id", F.explode(words).alias("w")).where(
+        F.length("w") > 0
+    )
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+    return voted.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, max_docs: int | None = None
+) -> DataFrame:
+    """Exact n-gram (word) Jaccard similarity for pairs sharing >=1 token.
+
+    Distinct-token self-join: |A ∩ B| from the join, |A|,|B| from per-doc
+    counts; only pairs with a common token ever shuffle. Used standalone on
+    small corpora and as the verify stage after LSH candidates at scale."""
+    docs = documents
+    if max_docs is not None:
+        docs = docs.where(F.col("doc_id") < max_docs)
+    words = F.split(_norm_text(), " ")
+    tok = docs.select("doc_id", F.explode(words).alias("w")).where(
+        F.length("w") > 2
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "w")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.95, max_vecs: int | None = 2000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, O(n^2) within the cap).
+
+    The exact pass is the verify stage; at corpus scale candidates come from
+    LSH bucketing first (see ann_lsh_bucketed in operators/similarity.py)."""
+    vecs = embeddings
+    if max_vecs is not None:
+        vecs = vecs.where(F.col("vec_id") < max_vecs)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
