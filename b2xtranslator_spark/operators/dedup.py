@@ -119,7 +119,9 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     voted = tok.groupBy("doc_id").agg(*votes)
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+        sim = sim + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
     return voted.select("doc_id", sim.alias("simhash"))
 
 

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline extraction job plus representative operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extras carried in the same line: turns/sec and docs/sec for the extraction
+stage (the BASELINE.json target metric).
+
+--scaling: runs the identical extraction job at local[8] and local[32] on the
+same cached input and reports throughput at both plus efficiency
+(T32/T8)/4 — the sandbox evidence protocol for the >=0.8 scaling-efficiency
+rule (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = Path(os.environ.get("B2X_BENCH_CACHE", "/tmp/b2x_bench_cache"))
+
+# bench corpus size by scale factor (turns; ~50% carry a ~75KB document)
+N_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 16000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    for k in N_TURNS:
+        if sf_dir.rstrip("/").endswith(f"sf{k}"):
+            return k
+    return "0.1"
+
+
+def _ensure_transcripts(spark, sf: str) -> str:
+    """Materialize the synthetic transcript corpus once per sf; the bench
+    then measures extraction from parquet (scan + decode + extract), which is
+    the shape of the real job."""
+    path = CACHE / f"transcripts_sf{sf}"
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        from b2xtranslator_spark.sources.transcripts import synthesize_transcripts
+
+        shutil.rmtree(path, ignore_errors=True)
+        transcripts, _ = synthesize_transcripts(
+            spark, n_turns=N_TURNS[sf], doc_fraction=0.5
+        )
+        transcripts.write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+def _run_extraction(spark, transcripts_path: str) -> tuple[float, int, int]:
+    from pyspark.sql import functions as F
+
+    from b2xtranslator_spark.pipeline import run_extraction
+
+    transcripts = spark.read.parquet(transcripts_path)
+    t0 = time.perf_counter()
+    extracted = run_extraction(transcripts)
+    row = extracted.agg(
+        F.count("*").alias("turns"),
+        F.sum("metrics.docs_parsed").alias("docs"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    return dt, int(row["turns"]), int(row["docs"] or 0)
+
+
+def _timed(fn, reps: int = 3) -> float:
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = _sf_of(SF_DIR)
+
+    from b2xtranslator_spark.plans.session import build_session
+
+    result: dict = {"unit": "sec", "sf": float(sf)}
+    queries: dict[str, float] = {}
+
+    spark = build_session(app_name="b2x-bench", master=f"local[{CPUS}]")
+    transcripts_path = _ensure_transcripts(spark, sf)
+
+    # headline: extraction throughput
+    ext_sec, turns, docs = _run_extraction(spark, transcripts_path)
+    queries["extract_transcripts"] = round(ext_sec, 3)
+    result["turns_per_sec"] = round(turns / ext_sec, 1)
+    result["docs_per_sec"] = round(docs / ext_sec, 1)
+
+    # operator queries on the provided testdata tables
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", Path(__file__).resolve().parent / "__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    qs = em.queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "text_quality_score",
+        "similarity_topk_bruteforce",
+        "lineitem_pricing_summary",
+        "revenue_by_region",
+        "latest_event_per_user",
+    ):
+        fn = qs[name]
+        queries[name] = round(
+            _timed(lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()),
+            3,
+        )
+    spark.stop()
+
+    if scaling:
+        scale_res = {}
+        for cores in (8, 32):
+            s = build_session(app_name=f"b2x-scale-{cores}", master=f"local[{cores}]")
+            sec, t_turns, t_docs = _run_extraction(s, transcripts_path)
+            # second run to amortize first-run JIT/pagecache noise
+            sec2, _, _ = _run_extraction(s, transcripts_path)
+            best = min(sec, sec2)
+            scale_res[cores] = {
+                "sec": round(best, 3),
+                "turns_per_sec": round(t_turns / best, 1),
+            }
+            s.stop()
+        eff = (scale_res[8]["sec"] / scale_res[32]["sec"]) / 4.0
+        result["scaling"] = {
+            "local8": scale_res[8],
+            "local32": scale_res[32],
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
+    result["metric"] = "total wall sec (headline extraction + operator queries)"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Operator-level Spark tests: dedup/similarity/multimodal behavior that the
+DuckDB oracle can't express (xxhash-based LSH, NumPy feature kernels)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from b2xtranslator_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from b2xtranslator_spark.operators.multimodal import (
+    run_media_features,
+    synthesize_media,
+)
+from b2xtranslator_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    lsh_bucket,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # add guaranteed near-duplicates: same text with one word changed
+    dup = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing-edit")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(dup)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=8).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    planted = {(i, i + 100000) for i in range(5)}
+    assert planted <= found, f"missing planted near-dups: {planted - found}"
+
+
+def test_minhash_is_deterministic(docs):
+    a = minhash_lsh_candidates(docs, 16, 8).toPandas().sort_values(["doc_a", "doc_b"])
+    b = minhash_lsh_candidates(docs, 16, 8).toPandas().sort_values(["doc_a", "doc_b"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_simhash_near_dups_are_close(docs):
+    sh = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    for i in range(5):
+        dist = bin(int(sh[i]) ^ int(sh[i + 100000])).count("1")
+        assert dist <= 8, f"planted near-dup hamming distance too large: {dist}"
+
+
+def test_jaccard_of_planted_dups_is_high(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    assert {(i, i + 100000) for i in range(5)} <= found
+
+
+def test_lsh_topk_recall_vs_bruteforce(embeddings):
+    brute = cosine_topk_bruteforce(embeddings, 0, 10).toPandas()
+    ann = cosine_topk_lsh(embeddings, 0, 50, n_planes=3).toPandas()
+    # with 3 planes the query bucket holds ~1/8 of vectors; require that the
+    # ANN result is a subset of correctly-scored vectors and overlaps the
+    # exact top-10
+    overlap = set(brute.vec_id) & set(ann.vec_id)
+    assert len(overlap) >= 1
+    merged = brute.merge(ann, on="vec_id", suffixes=("_b", "_a"))
+    assert (merged.cosine_b - merged.cosine_a).abs().max() < 1e-9
+
+
+def test_lsh_buckets_partition_the_space(embeddings):
+    b = lsh_bucket(embeddings, n_planes=4).toPandas()
+    assert b.bucket.between(0, 15).all()
+    assert b.bucket.nunique() > 1
+
+
+def test_media_feature_plumbing(spark):
+    media = synthesize_media(spark, n_rows=48)
+    feats = run_media_features(media).toPandas()
+    assert len(feats) == 48
+    assert (feats.status == "ok").all()
+    assert feats.feature.map(len).eq(16).all()
+    # deterministic across runs
+    again = run_media_features(synthesize_media(spark, n_rows=48)).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert (a.feature.map(tuple) == b.feature.map(tuple)).all()
