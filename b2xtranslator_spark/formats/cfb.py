@@ -185,6 +185,10 @@ class CompoundFile:
             )
         # tree walk from the root's child, cycle-guarded (DirectoryTree.cs:61-98)
         if entries:
+            if len(entries[0].name) >= 32:
+                # the root entry is read (and its name validated) first
+                # (DirectoryTree.cs:63, AbstractDirectoryEntry.cs:33-36)
+                raise CfbError("The value for '_ab' is invalid.")
             visited: set[int] = set()
             stack = [(entries[0].child, "")]
             while stack:

