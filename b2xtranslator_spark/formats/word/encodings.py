@@ -125,40 +125,44 @@ def _looks_like_mac_smart_punct_mismatch(mac_text: str, win_text: str) -> bool:
     return False
 
 
+import re as _re
+
+# Latin-1-supplement letters: \u00c0-\u00ff minus the two non-letters \u00d7 and \u00f7
+_SUPP_LETTER_RE = _re.compile("[\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u00ff]")
+_ASCII_LETTER_RE = _re.compile("[A-Za-z]")
+_UTF8_MOJIBAKE_RE = _re.compile("[\u00c3\u00c2\u00e2](?=[\u0080-\u00bf\u20ac\u2122])")
+_LATIN_EXT_RE = _re.compile("[\u00c0-\u024f]")
+
+
 def _count(text: str, pred) -> int:
     return sum(1 for c in text if pred(c))
 
 
 def _is_cyrillic_letter(c: str) -> bool:
-    return "Ѐ" <= c <= "ӿ" and c.isalpha()
+    return "\u0400" <= c <= "\u04ff" and c.isalpha()
 
 
 def _looks_like_western_mojibake_for_cyrillic(western: str, cyrillic: str) -> bool:
+    # cheap C-speed pre-check before any per-char Python work: the verdict
+    # requires >=6 Latin-supplement letters (PieceTable.cs:520-536)
+    supplement_letters = len(_SUPP_LETTER_RE.findall(western))
+    if supplement_letters < 6:
+        return False
     western_letters = _count(western, str.isalpha)
     if western_letters < 6:
         return False
-    ascii_letters = _count(western, lambda c: c <= "\x7f" and c.isalpha())
-    supplement_letters = _count(
-        western, lambda c: "À" <= c <= "ÿ" and c.isalpha()
-    )
+    ascii_letters = len(_ASCII_LETTER_RE.findall(western))
     cyr_letters = _count(cyrillic, _is_cyrillic_letter)
     return (
-        supplement_letters >= 6
-        and ascii_letters <= max(1, western_letters // 5)
+        ascii_letters <= max(1, western_letters // 5)
         and cyr_letters * 10 >= western_letters * 7
     )
 
 
 def _count_utf8_mojibake(text: str) -> int:
-    count = 0
-    for i in range(len(text) - 1):
-        c = text[i]
-        if c not in "ÃÂâ":
-            continue
-        nxt = text[i + 1]
-        if ("" <= nxt <= "¿") or nxt in "€™":
-            count += 1
-    return count
+    # lookahead class = 0x80-0xBF continuation range plus the euro/tm signs
+    # (PieceTable.cs:556-575); regex keeps this off the per-char Python path
+    return len(_UTF8_MOJIBAKE_RE.findall(text))
 
 
 def _looks_like_utf8_mojibake(single_byte_text: str, utf8_text: str) -> bool:
@@ -169,13 +173,13 @@ def _looks_like_utf8_mojibake(single_byte_text: str, utf8_text: str) -> bool:
         return False
     if _count_utf8_mojibake(utf8_text) >= before:
         return False
-    latin_supp = _count(
-        utf8_text, lambda c: "À" <= c <= "ɏ" and c.isalpha()
-    )
+    latin_supp = sum(1 for c in _LATIN_EXT_RE.findall(utf8_text) if c.isalpha())
     return latin_supp >= min(2, before)
 
 
 def _has_embedded_char(text: str, lower: str, upper: str) -> bool:
+    if lower not in text and upper not in text:
+        return False
     for i, c in enumerate(text):
         if c != lower and c != upper:
             continue
@@ -201,10 +205,17 @@ def decode_piece(data: bytes, codepage: int) -> str:
             return win
         return text
     if codepage in (1252, 28591):
-        cyrillic = decode_single_byte(data, 1251)
-        if _looks_like_western_mojibake_for_cyrillic(text, cyrillic):
-            text = cyrillic
-        else:
+        # decode alternatives lazily: the cyrillic candidate is only needed
+        # when the supplement-letter pre-check can pass, the UTF-8 candidate
+        # only when >=2 mojibake lead bytes are present (behavior identical,
+        # just skips work on the overwhelmingly-common clean path)
+        repaired = False
+        if len(_SUPP_LETTER_RE.findall(text)) >= 6:
+            cyrillic = decode_single_byte(data, 1251)
+            if _looks_like_western_mojibake_for_cyrillic(text, cyrillic):
+                text = cyrillic
+                repaired = True
+        if not repaired and _count_utf8_mojibake(text) >= 2:
             try:
                 utf8_text = data.decode("utf-8")
             except UnicodeDecodeError:

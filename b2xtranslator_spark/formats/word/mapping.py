@@ -48,6 +48,9 @@ _WIN1252_C1 = str.maketrans(
     }
 )
 
+_PARA_BOUNDARY_RE = re.compile("[\r\x07\x0c]")
+_DISPATCH_STOP_RE = re.compile("[\x00-\x1f￿]")
+_DISPATCH_STOP_SPEC_RE = re.compile("[\x00-\x1f\x28￿]")
 _CLASSIC_FIELD_RE = re.compile("^(\x13)(.*)(\x14)(.*)(\x15)", re.DOTALL)
 _SHORT_FIELD_RE = re.compile("^(\x13)(.*)(\x15)", re.DOTALL)
 
@@ -240,15 +243,19 @@ class DocumentMapping:
         cp_para_end = cp
         if cp >= n:
             return cp_para_end + 1
-        while (
-            cp_para_end < n
-            and text[cp_para_end] != PARAGRAPH_END
-            and text[cp_para_end] != CELL_OR_ROW
-            and not (
-                text[cp_para_end] == PAGE_BREAK_OR_SECTION
-                and self.is_section_end(cp_para_end)
-            )
-        ):
+        # regex scan for the next paragraph/cell/section boundary (the
+        # reference's per-char while loop, DocumentMapping.cs:526-536, made
+        # C-speed; \x0c only terminates when it is a section end)
+        while cp_para_end < n:
+            m = _PARA_BOUNDARY_RE.search(text, cp_para_end)
+            if m is None:
+                cp_para_end = n
+                break
+            cp_para_end = m.start()
+            if text[cp_para_end] != PAGE_BREAK_OR_SECTION or self.is_section_end(
+                cp_para_end
+            ):
+                break
             cp_para_end += 1
         if cp_para_end >= n:
             cp_para_end = n - 1
@@ -370,7 +377,20 @@ class DocumentMapping:
             return
 
         doc = self.doc
-        for i, c in enumerate(chars):
+        stop_re = _DISPATCH_STOP_SPEC_RE if f_spec else _DISPATCH_STOP_RE
+        n_chars = len(chars)
+        i = 0
+        while i < n_chars:
+            c = chars[i]
+            # bulk-write the plain span up to the next dispatchable char
+            # (keeps the per-char Python loop off the common path)
+            if c > "\x1f" and c != "￿" and not (f_spec and c == SYMBOL):
+                m = stop_re.search(chars, i + 1)
+                j = m.start() if m else n_chars
+                w.write_string(chars[i:j].translate(_WIN1252_C1))
+                cp += j - i
+                i = j
+                continue
             if c == TAB:
                 w.end_element()
                 w.element_string("w", "tab")
@@ -462,9 +482,8 @@ class DocumentMapping:
             elif c == ANNOTATION_REF:
                 w.end_element()
                 w.start_element("w", text_type)
-            elif c > "\x1f" and c != "￿":
-                w.write_string(c.translate(_WIN1252_C1))
             cp += 1
+            i += 1
 
         w.end_element()
 

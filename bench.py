@@ -133,7 +133,7 @@ def main() -> None:
 
     if scaling:
         scale_res = {}
-        for cores in (8, 32):
+        for cores in (2, 8, 32):
             s = build_session(app_name=f"b2x-scale-{cores}", master=f"local[{cores}]")
             sec, t_turns, t_docs = _run_extraction(s, transcripts_path)
             # second run to amortize first-run JIT/pagecache noise
@@ -144,12 +144,15 @@ def main() -> None:
                 "turns_per_sec": round(t_turns / best, 1),
             }
             s.stop()
-        eff = (scale_res[8]["sec"] / scale_res[32]["sec"]) / 4.0
         result["scaling"] = {
-            "local8": scale_res[8],
-            "local32": scale_res[32],
-            "efficiency_8_to_32": round(eff, 3),
+            f"local{c}": scale_res[c] for c in scale_res
         }
+        result["scaling"]["efficiency_2_to_8"] = round(
+            (scale_res[2]["sec"] / scale_res[8]["sec"]) / 4.0, 3
+        )
+        result["scaling"]["efficiency_8_to_32"] = round(
+            (scale_res[8]["sec"] / scale_res[32]["sec"]) / 4.0, 3
+        )
 
     result["queries"] = queries
     result["value"] = round(sum(queries.values()), 3)
