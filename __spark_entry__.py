@@ -94,9 +94,9 @@ def _q_extract_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts, expected = _transcripts(spark, sf_dir)
     extracted = run_extraction(transcripts)
 
-    @F.udf("string")
+    @F.pandas_udf("string")
     def norm(s):
-        return (normalize_text(s) or "").lower()
+        return s.map(lambda v: (normalize_text(v) or "").lower())
 
     joined = (
         extracted.join(expected, ["conv_id", "turn_idx"], "inner")
