@@ -763,7 +763,13 @@ def apply_footnotes(m: DocumentMapping) -> None:
     doc = m.doc
     m.w.start_element("w", "footnotes")
     cp = doc.fib.ccp_text
+    n_text = len(doc.text)
     while cp < doc.fib.ccp_text + doc.fib.ccp_ftn - 2:
+        if cp >= n_text:
+            # past the decoded text every writeParagraph call is a no-op that
+            # advances cp by 1 (DocumentMapping.cs:522-526) and the wrapping
+            # footnote element emits no text: skip the churn, same output
+            break
         m.w.start_element("w", "footnote")
         cp = m.write_paragraph(cp)
         m.w.end_element()
@@ -776,7 +782,10 @@ def apply_endnotes(m: DocumentMapping) -> None:
     fib = doc.fib
     cp = fib.ccp_text + fib.ccp_ftn + fib.ccp_hdr + fib.ccp_atn
     cp_end = cp + fib.ccp_edn - 2
+    n_text = len(doc.text)
     while cp < cp_end:
+        if cp >= n_text:
+            break  # see apply_footnotes: pure no-op churn past text end
         m.w.start_element("w", "endnote")
         cp = m.write_paragraph(cp)
         m.w.end_element()
