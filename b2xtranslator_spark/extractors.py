@@ -13,9 +13,9 @@ import time
 from dataclasses import dataclass, field
 
 from .formats import cfb
-from .formats.ppt import extract_ppt_text_from_storage
+from .formats.ppt import extract_ppt_text_parts
 from .formats.word.extract import extract_doc_text_parts, normalize_text
-from .formats.xls import extract_xls_text_from_storage
+from .formats.xls import extract_xls_text_parts
 
 __all__ = ["ExtractResult", "extract_payload_text", "normalize_text"]
 
@@ -46,10 +46,12 @@ def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractRe
             res.metrics["records_decoded"] = records
         elif storage.has_stream("Workbook") or storage.has_stream("Book"):
             res.kind = "xls"
-            res.text = extract_xls_text_from_storage(storage)
+            res.text, records = extract_xls_text_parts(storage)
+            res.metrics["records_decoded"] = records
         elif storage.has_stream("PowerPoint Document"):
             res.kind = "ppt"
-            res.text = extract_ppt_text_from_storage(storage)
+            res.text, records = extract_ppt_text_parts(storage)
+            res.metrics["records_decoded"] = records
         else:
             res.status = "unsupported"
             res.error = "no recognized document stream in container"

@@ -142,6 +142,10 @@ def extract_ppt_text(payload: bytes) -> str:
 
 
 def extract_ppt_text_from_storage(storage: CompoundFile) -> str:
+    return extract_ppt_text_parts(storage)[0]
+
+
+def extract_ppt_text_parts(storage: CompoundFile) -> tuple[str, int]:
     stream = storage.get_stream("PowerPoint Document")
 
     current_edit = None
@@ -176,12 +180,12 @@ def extract_ppt_text_from_storage(storage: CompoundFile) -> str:
                             stream, srec.start, srec.start + srec.length, parts
                         )
         if parts:
-            return "\n".join(parts)
+            return "\n".join(parts), len(parts)
 
     # fallback: linear sweep of top-level records
     out: list[str] = []
     _collect_text(stream, 0, len(stream), out)
-    return "\n".join(out)
+    return "\n".join(out), len(out)
 
 
 def _walk_doc(

@@ -14,6 +14,7 @@ from .document import WordBinaryDocument
 from .mapping import (
     DocumentMapping,
     apply_comments,
+    apply_glossary,
     apply_endnotes,
     apply_footnotes,
     apply_main,
@@ -58,6 +59,17 @@ def extract_doc_text_parts(
     _run("footnotes", apply_footnotes, "footnotes")
     _run("endnotes", apply_endnotes, "endnotes")
     _run("comments", apply_comments, "comments")
+    if doc.glossary is not None:
+        # glossary subdocument (DocTextExtractor.cs:96-100)
+        glossary_writer_mark = mark
+        gm = DocumentMapping(doc.glossary, writer, extract_urls, "glossary", shared)
+        try:
+            apply_glossary(gm)
+        except Exception:
+            pass
+        end = writer.current_length()
+        if end > glossary_writer_mark:
+            spans.append(("glossary", glossary_writer_mark, end))
 
     records = len(doc.piece_table.pieces) + len(doc.all_papx)
     records += sum(len(f.grpchpx) for f in doc.chpx_index.fkps)

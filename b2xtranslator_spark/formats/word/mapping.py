@@ -792,6 +792,29 @@ def apply_endnotes(m: DocumentMapping) -> None:
     m.w.end_element()
 
 
+def apply_glossary(m: DocumentMapping) -> None:
+    """GlossaryMapping.Apply (GlossaryMapping.cs:15-79): one docPart per
+    AutoText range of the glossary subdocument; only the docPartBody
+    paragraph contributes text."""
+    doc = m.doc
+    m.w.start_element("w", "glossaryDocument")
+    m.w.start_element("w", "docParts")
+    cps = doc.autotext_plex.cps
+    for i in range(max(0, len(cps) - 2)):
+        cp_start, cp_end = cps[i], cps[i + 1]
+        m.w.start_element("w", "docPart")
+        m.w.start_element("w", "docPartBody")
+        try:
+            if cp_end > cp_start and doc.piece_table.contains_cp(cp_start):
+                m._write_paragraph_range(cp_start, cp_end, False)
+        except Exception:
+            pass  # glossary damage must not fail the document
+        m.w.end_element()
+        m.w.end_element()
+    m.w.end_element()
+    m.w.end_element()
+
+
 def apply_comments(m: DocumentMapping) -> None:
     doc = m.doc
     m.w.start_element("w", "comments")

@@ -156,6 +156,10 @@ def extract_xls_text(payload: bytes) -> str:
 
 
 def extract_xls_text_from_storage(storage: CompoundFile) -> str:
+    return extract_xls_text_parts(storage)[0]
+
+
+def extract_xls_text_parts(storage: CompoundFile) -> tuple[str, int]:
     # Workbook, falling back to Book (XlsDocument.cs:45-56)
     if storage.has_stream("Workbook"):
         stream = storage.get_stream("Workbook")
@@ -195,6 +199,7 @@ def extract_xls_text_from_storage(storage: CompoundFile) -> str:
             continue
         i += 1
 
+    n_records = len(recs)
     out_rows: list[str] = []
     for name, lb_ply_pos in sheets:
         cells: dict[tuple[int, int], str] = {}
@@ -284,4 +289,4 @@ def extract_xls_text_from_storage(storage: CompoundFile) -> str:
             sheet_lines.append("\t".join(cols[c] for c in sorted(cols)))
         if sheet_lines:
             out_rows.append("\n".join(sheet_lines))
-    return "\n".join(out_rows)
+    return "\n".join(out_rows), n_records
