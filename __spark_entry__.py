@@ -65,9 +65,9 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _n_turns(sf_dir: str) -> int:
     if "0.001" in sf_dir:
         return 300
-    if "0.01" in sf_dir:
-        return 1200
-    return 20000
+    if "0.1" in sf_dir:
+        return 16000
+    return 1200  # sf0.01 (the correctness gate) and anything unrecognized
 
 
 def _transcripts(spark: SparkSession, sf_dir: str):

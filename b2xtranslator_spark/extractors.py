@@ -29,14 +29,24 @@ class ExtractResult:
     metrics: dict = field(default_factory=dict)
 
 
+MAX_PAYLOAD_BYTES = 256 * 1024 * 1024  # per-document size cap (SCALING.md §2)
+
+
 def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractResult:
     """Extract plain text from one binary document payload.
 
     Never raises: per-document failure tolerance is a row-level contract
     (reference: per-file try/catch in Shell/doc2text/Program.cs:56-100 —
-    at corpus scale one hostile document must not fail a task)."""
+    at corpus scale one hostile document must not fail a task). Documents
+    over MAX_PAYLOAD_BYTES are skipped rather than risking executor memory."""
     t0 = time.perf_counter()
     res = ExtractResult()
+    if len(payload) > MAX_PAYLOAD_BYTES:
+        res.status = "skipped"
+        res.error = f"payload exceeds size cap ({len(payload)} bytes)"
+        res.metrics["bytes_decoded"] = 0
+        res.metrics["wall_ms"] = 0
+        return res
     try:
         storage = cfb.CompoundFile(payload)  # raises the magic-number error
         if storage.has_stream("WordDocument"):

@@ -42,6 +42,12 @@ R_STRING = 0x0207
 R_BOOLERR = 0x0205
 
 
+_BIFF_ERRORS = {
+    0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
+    0x1D: "#NAME?", 0x24: "#NUM!", 0x2A: "#N/A",
+}
+
+
 class EncryptedWorkbookError(ValueError):
     def __init__(self) -> None:
         super().__init__("The file is encrypted and cannot be processed.")
@@ -265,6 +271,14 @@ def extract_xls_text_parts(storage: CompoundFile) -> tuple[str, int]:
                     else:
                         (value,) = struct.unpack_from("<d", result, 0)
                         cells[(rw, col)] = _fmt_number(value)
+                elif rid == R_BOOLERR and length >= 8:
+                    rw, col, _ixfe = struct.unpack_from("<HHH", stream, lb_ply_pos + off)
+                    b_val = stream[lb_ply_pos + off + 6]
+                    f_err = stream[lb_ply_pos + off + 7]
+                    if f_err:
+                        cells[(rw, col)] = _BIFF_ERRORS.get(b_val, "#ERR")
+                    else:
+                        cells[(rw, col)] = "TRUE" if b_val else "FALSE"
                 elif rid == R_STRING and pending_formula_cell is not None:
                     base = lb_ply_pos + off
                     (cch,) = struct.unpack_from("<H", stream, base)

@@ -33,6 +33,10 @@ CACHE = Path(os.environ.get("B2X_BENCH_CACHE", "/tmp/b2x_bench_cache"))
 
 # bench corpus size by scale factor (turns; ~50% carry a ~75KB document)
 N_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 16000}
+# the scaling evidence run uses a larger corpus so per-document compute
+# dominates fixed per-job overhead (scheduler, worker spin-up, scan setup) —
+# the regime a real multi-hour cluster job lives in
+SCALE_TURNS = {"0.001": 4000, "0.01": 16000, "0.1": 64000}
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -42,18 +46,18 @@ def _sf_of(sf_dir: str) -> str:
     return "0.1"
 
 
-def _ensure_transcripts(spark, sf: str) -> str:
-    """Materialize the synthetic transcript corpus once per sf; the bench
-    then measures extraction from parquet (scan + decode + extract), which is
-    the shape of the real job."""
-    path = CACHE / f"transcripts_sf{sf}"
+def _ensure_transcripts(spark, sf: str, n_turns: int, tag: str = "") -> str:
+    """Materialize the synthetic transcript corpus once per (sf, size); the
+    bench then measures extraction from parquet (scan + decode + extract),
+    which is the shape of the real job."""
+    path = CACHE / f"transcripts_sf{sf}{tag}"
     marker = path / "_SUCCESS"
     if not marker.exists():
         from b2xtranslator_spark.sources.transcripts import synthesize_transcripts
 
         shutil.rmtree(path, ignore_errors=True)
         transcripts, _ = synthesize_transcripts(
-            spark, n_turns=N_TURNS[sf], doc_fraction=0.5
+            spark, n_turns=n_turns, doc_fraction=0.5
         )
         transcripts.write.mode("overwrite").parquet(str(path))
     return str(path)
@@ -96,7 +100,9 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     spark = build_session(app_name="b2x-bench", master=f"local[{CPUS}]")
-    transcripts_path = _ensure_transcripts(spark, sf)
+    transcripts_path = _ensure_transcripts(spark, sf, N_TURNS[sf])
+    if scaling:
+        scale_path = _ensure_transcripts(spark, sf, SCALE_TURNS[sf], "_scale")
 
     # headline: extraction throughput (one warm-up run amortizes Python
     # worker startup + page cache, as a long-running job would)
@@ -135,9 +141,9 @@ def main() -> None:
         scale_res = {}
         for cores in (2, 8, 32):
             s = build_session(app_name=f"b2x-scale-{cores}", master=f"local[{cores}]")
-            sec, t_turns, t_docs = _run_extraction(s, transcripts_path)
+            sec, t_turns, t_docs = _run_extraction(s, scale_path)
             # second run to amortize first-run JIT/pagecache noise
-            sec2, _, _ = _run_extraction(s, transcripts_path)
+            sec2, _, _ = _run_extraction(s, scale_path)
             best = min(sec, sec2)
             scale_res[cores] = {
                 "sec": round(best, 3),

@@ -143,3 +143,30 @@ def test_ppt_persist_directory_last_edit_wins():
     persist, doc_ref = ppt._persist_directory(stream, edit2_off)
     assert doc_ref == 1
     assert persist[1] == 111  # newest edit's directory entry wins
+
+
+@needs_ref
+def test_extract_urls_flag():
+    from b2xtranslator_spark.formats.word.extract import extract_doc_text
+
+    # a sample whose expected text carries "display (url)" hyperlinks
+    doc = "/root/reference/samples/hyperlink.doc"
+    if not os.path.exists(doc):
+        pytest.skip("hyperlink sample missing")
+    payload = open(doc, "rb").read()
+    with_urls = extract_doc_text(payload, extract_urls=True)
+    without = extract_doc_text(payload, extract_urls=False)
+    assert "http" in with_urls
+    assert len(without) <= len(with_urls)
+
+
+def test_payload_size_cap():
+    from b2xtranslator_spark.extractors import extract_payload_text
+
+    class FakeHuge(bytes):
+        def __len__(self):  # avoid allocating 256MB in the test
+            return 300 * 1024 * 1024
+
+    res = extract_payload_text(FakeHuge(b"x"))
+    assert res.status == "skipped"
+    assert "size cap" in res.error
