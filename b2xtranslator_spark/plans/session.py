@@ -36,10 +36,15 @@ def build_session(
         # variance doesn't create stragglers (measured: 256-row batches left
         # 32 cores 2.8x underutilized on the sample corpus)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
-        # binary columns compress poorly and row-groups should stay scannable
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # smaller splits than the 128MB default: payload rows are huge, so
+        # 32MB keeps scan tasks plentiful and uniform for the map stage
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # row groups are the atomic scan unit: with multi-MB payload rows the
+        # default 128MB block yields so few groups that a wide cluster
+        # tail-locks on single row-group tasks — 8MB groups keep splits real
+        .config("spark.hadoop.parquet.block.size", "8388608")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv6Addresses=false")
     )

@@ -90,7 +90,28 @@ def _timed(fn, reps: int = 3) -> float:
     return times[len(times) // 2]
 
 
+def _scale_worker(cores: int, big_path: str, warm_path: str) -> None:
+    """One pinned scaling measurement: warm up on the small corpus, measure
+    one run on the large one, emit a JSON line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from b2xtranslator_spark.pipeline import run_extraction
+    from b2xtranslator_spark.plans.session import build_session
+
+    s = build_session(app_name=f"b2x-scale-{cores}", master=f"local[{cores}]")
+    run_extraction(s.read.parquet(warm_path)).agg(F.count("*")).collect()
+    sec, turns, _docs = _run_extraction(s, big_path)
+    s.stop()
+    print(_json.dumps({"sec": round(sec, 3), "turns_per_sec": round(turns / sec, 1)}))
+
+
 def main() -> None:
+    if "--scale-worker" in sys.argv:
+        i = sys.argv.index("--scale-worker")
+        _scale_worker(int(sys.argv[i + 1]), sys.argv[i + 2], sys.argv[i + 3])
+        return
     scaling = "--scaling" in sys.argv
     sf = _sf_of(SF_DIR)
 
@@ -138,21 +159,32 @@ def main() -> None:
     spark.stop()
 
     if scaling:
+        # each "cluster size" runs in a fresh process PINNED to exactly N
+        # CPUs (taskset): in plain local[N] mode the JVM's scan/codec threads
+        # would borrow idle cores beyond N, flattering small-N runs and
+        # understating true scaling. Pinning makes local[N] an honest N-core
+        # proxy for an N-executor cluster.
+        import json as _json
+        import shutil as _shutil
+        import subprocess
+
         scale_res = {}
         for cores in (2, 8, 32):
-            s = build_session(app_name=f"b2x-scale-{cores}", master=f"local[{cores}]")
-            sec, t_turns, t_docs = _run_extraction(s, scale_path)
-            # second run to amortize first-run JIT/pagecache noise
-            sec2, _, _ = _run_extraction(s, scale_path)
-            best = min(sec, sec2)
-            scale_res[cores] = {
-                "sec": round(best, 3),
-                "turns_per_sec": round(t_turns / best, 1),
-            }
-            s.stop()
-        result["scaling"] = {
-            f"local{c}": scale_res[c] for c in scale_res
-        }
+            cmd = [
+                sys.executable,
+                __file__,
+                "--scale-worker",
+                str(cores),
+                scale_path,
+                transcripts_path,
+            ]
+            if _shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800
+            ).stdout.strip().splitlines()
+            scale_res[cores] = _json.loads(out[-1])
+        result["scaling"] = {f"cpus{c}": scale_res[c] for c in scale_res}
         result["scaling"]["efficiency_2_to_8"] = round(
             (scale_res[2]["sec"] / scale_res[8]["sec"]) / 4.0, 3
         )
