@@ -126,9 +126,12 @@ def main() -> None:
         scale_path = _ensure_transcripts(spark, sf, SCALE_TURNS[sf], "_scale")
 
     # headline: extraction throughput (one warm-up run amortizes Python
-    # worker startup + page cache, as a long-running job would)
+    # worker startup + page cache, as a long-running job would; median of 3
+    # measured runs guards against host noise)
     _run_extraction(spark, transcripts_path)
-    ext_sec, turns, docs = _run_extraction(spark, transcripts_path)
+    runs = [_run_extraction(spark, transcripts_path) for _ in range(3)]
+    runs.sort(key=lambda r: r[0])
+    ext_sec, turns, docs = runs[1]
     queries["extract_transcripts"] = round(ext_sec, 3)
     result["turns_per_sec"] = round(turns / ext_sec, 1)
     result["docs_per_sec"] = round(docs / ext_sec, 1)
