@@ -37,10 +37,12 @@ from b2xtranslator_spark.operators.similarity import (  # noqa: E402
 )
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
+    deterministic_sample,
     fingerprint,
     language_id,
     quality_score,
     token_count,
+    token_histogram,
 )
 from b2xtranslator_spark.pipeline import run_extraction  # noqa: E402
 from b2xtranslator_spark.sources.transcripts import (  # noqa: E402
@@ -187,6 +189,14 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_table(spark, sf_dir, "documents"))
 
 
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deterministic_sample(_table(spark, sf_dir, "documents"))
+
+
+def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_histogram(_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _table(spark, sf_dir, "documents")
@@ -271,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_language_id,
         "text_quality_score": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "sample_documents": _q_sample,
+        "token_histogram": _q_token_histogram,
         "docs_by_source": _q_docs_by_source,
         "latest_event_per_user": _q_latest_event_per_user,
         "revenue_by_region": _q_revenue_by_region,
@@ -388,6 +400,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fp FROM documents
+        """,
+        "sample_documents": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE substring(md5({norm}), 1, 2) < '28'
+        """,
+        "token_histogram": f"""
+            SELECT floor(len({_sql_words()}) / 20)::BIGINT AS token_bucket,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1
         """,
         "docs_by_source": """
             SELECT source,

@@ -94,6 +94,30 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def deterministic_sample(documents: DataFrame, hex_ceiling: str = "28") -> DataFrame:
+    """Cross-engine deterministic sampling: keep rows whose content-md5
+    prefix falls under a ceiling (~16% for '28'). The standard trick for
+    reproducible corpus subsets that is identical on any engine with md5 —
+    unlike rand(seed), which is engine-specific."""
+    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    fp = F.md5(F.encode(normalized, "UTF-8"))
+    return documents.where(F.substring(fp, 1, 2) < F.lit(hex_ceiling)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def token_histogram(documents: DataFrame, bucket_width: int = 20) -> DataFrame:
+    """Histogram of document sizes in whitespace tokens (fixed-width
+    buckets): the shape check run before/after every corpus filter."""
+    n_tokens = F.size(_words())
+    bucket = F.floor(n_tokens / F.lit(bucket_width)).cast("long")
+    return (
+        documents.select(bucket.alias("token_bucket"))
+        .groupBy("token_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercased text
     (md5 is bit-identical across Spark and DuckDB, unlike xxhash64)."""
