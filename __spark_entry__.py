@@ -209,6 +209,12 @@ def _q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from b2xtranslator_spark.operators.asof import last_event_asof
+
+    return last_event_asof(_table(spark, sf_dir, "events"), marker_type="click")
+
+
 def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -284,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": _q_sample,
         "token_histogram": _q_token_histogram,
         "docs_by_source": _q_docs_by_source,
+        "event_asof_join": _q_event_asof,
         "latest_event_per_user": _q_latest_event_per_user,
         "revenue_by_region": _q_revenue_by_region,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -419,6 +426,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents
             GROUP BY source
+        """,
+        "event_asof_join": """
+            SELECT event_id, user_id, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER w AS asof_marker_ts,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                              IGNORE NULLS) OVER w AS asof_marker_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value

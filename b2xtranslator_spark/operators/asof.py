@@ -1,0 +1,44 @@
+"""As-of (point-in-time) join operators.
+
+The reference's interval alignments (SURVEY.md §2.3 J1-J3) live inside the
+decode UDF as searchsorted lookups; at the DataFrame level the same
+"most recent value at or before T" semantics appear constantly in transcript
+analytics (attach the last tool event to each turn, the last login to each
+action). Spark has no native ASOF JOIN — the idiomatic composition is a
+forward-filled window over the unioned stream, which shuffles each side
+once by key and never builds a range cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def last_event_asof(
+    events: DataFrame,
+    marker_type: str = "click",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """For every event, the timestamp/id of the user's most recent PRIOR
+    (or simultaneous) event of `marker_type` — the classic as-of self-join,
+    expressed as a forward-fill window (one shuffle on the key)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_marker = F.col("event_type") == marker_type
+    return events.select(
+        "event_id",
+        key,
+        "event_type",
+        F.last(F.when(is_marker, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("asof_marker_ts"),
+        F.last(F.when(is_marker, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_marker_event_id"),
+    )

@@ -1,0 +1,111 @@
+"""Stateful streaming sessionization of conversation turns.
+
+Custom stateful operator via ``applyInPandasWithState``: groups a stream of
+transcript turns into per-conversation sessions split on idle gaps. The
+reference has no streaming surface (SURVEY.md §2.9); this is the transcript-
+pipeline operator a continuous ingest needs (e.g. "emit a conversation
+segment once it has been quiet for N minutes" to trigger extraction of the
+closed segment).
+
+State per conv_id: (session_no, last_ts, turn_count). Works identically in
+batch tests via availableNow triggers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("session_no", IntegerType()),
+        StructField("n_turns", IntegerType()),
+        StructField("first_ts", LongType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_no", IntegerType()),
+        StructField("last_ts", LongType()),
+        StructField("n_turns", IntegerType()),
+        StructField("first_ts", LongType()),
+    ]
+)
+
+GAP_SECONDS = 1800
+
+
+def sessionize_turns(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: emits one row per CLOSED session; the
+    open session lives in state."""
+    (conv_id,) = key
+    if state.exists:
+        session_no, last_ts, n_turns, first_ts = state.get
+    else:
+        session_no, last_ts, n_turns, first_ts = 0, None, 0, None
+
+    closed: list[tuple] = []
+    ts_values: list[int] = []
+    for pdf in pdfs:
+        ts_values.extend(int(v) for v in pdf["ts_epoch"].values)
+    for ts in sorted(ts_values):
+        if last_ts is not None and ts - last_ts > GAP_SECONDS:
+            closed.append((conv_id, session_no, n_turns, first_ts, last_ts))
+            session_no += 1
+            n_turns = 0
+            first_ts = ts
+        if first_ts is None:
+            first_ts = ts
+        last_ts = ts
+        n_turns += 1
+
+    state.update((session_no, last_ts, n_turns, first_ts))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["conv_id", "session_no", "n_turns", "first_ts", "last_ts"],
+        )
+
+
+def start_sessionize_stream(spark, input_dir, output_dir, checkpoint_dir):
+    from pyspark.sql import functions as F
+
+    from .ingest import TRANSCRIPT_SCHEMA
+
+    source = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("ts_epoch", F.unix_timestamp("ts"))
+        .select("conv_id", "ts_epoch")
+    )
+    sessions = source.groupBy("conv_id").applyInPandasWithState(
+        sessionize_turns,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
