@@ -80,3 +80,27 @@ def test_whole_stage_codegen_on_textstats(docs):
     assert "*(1)" in plan  # whole-stage-codegen marker
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, docs, tmp_path_factory):
+    """Bucketing pre-shuffles once at write time; co-bucketed joins then run
+    with NO exchange — the 100TB co-location strategy for repeated joins on
+    conv_id/doc_id keys."""
+    spark.sql("DROP TABLE IF EXISTS docs_a")
+    spark.sql("DROP TABLE IF EXISTS docs_b")
+    small = docs.select("doc_id", "n_chars")
+    small.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_a")
+    small.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_b")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("docs_a").join(spark.table("docs_b"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_section, "bucketed join still shuffles"
+        assert joined.count() == small.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS docs_a")
+        spark.sql("DROP TABLE IF EXISTS docs_b")
