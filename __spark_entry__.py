@@ -34,6 +34,7 @@ from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
 from b2xtranslator_spark.operators.similarity import (  # noqa: E402
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_near_duplicates_fast,
 )
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
@@ -169,6 +170,12 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_duplicates_fast(
+        _table(spark, sf_dir, "embeddings"), threshold=0.35, max_vecs=400
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(_table(spark, sf_dir, "embeddings"), 0, 10)
 
@@ -282,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embed_neardup,
+        "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
         "similarity_topk_bruteforce": _q_similarity_topk,
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
@@ -349,6 +357,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(common / (na.n + nb.n - common), 6) >= 0.3
         """,
         "dedup_embedding_cosine": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 400 AND b.vec_id < 400 AND a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "dedup_embedding_cosine_fast": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 6) AS cosine

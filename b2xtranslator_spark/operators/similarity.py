@@ -80,6 +80,50 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     return embeddings.select("vec_id", bucket.alias("bucket"), "embedding")
 
 
+def embedding_near_duplicates_fast(
+    embeddings: DataFrame, threshold: float = 0.35, max_vecs: int | None = 400
+) -> DataFrame:
+    """NumPy-matmul variant of dedup.embedding_near_duplicates: one
+    mapInPandas over a broadcast right side scores a whole Arrow batch with
+    a single BLAS call (~10-100x the per-element Catalyst aggregate). Same
+    output contract (vec_a < vec_b, cosine >= threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    vecs = embeddings
+    if max_vecs is not None:
+        vecs = vecs.where(F.col("vec_id") < max_vecs)
+    rows = vecs.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            ai, bi = np.nonzero(
+                (np.round(sims, 6) >= threshold)
+                & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "cosine": np.round(sims[ai, bi], 6),
+                }
+            )
+
+    return vecs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        score, "vec_a long, vec_b long, cosine double"
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 6
 ) -> DataFrame:
