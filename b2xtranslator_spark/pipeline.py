@@ -77,7 +77,7 @@ EXTRACTED_SCHEMA = StructType(
 def _extract_one(text: str | None, tool: str | None) -> tuple:
     """Extract a single turn. Payload may arrive in `text` OR `tool`
     (BASELINE.json input_hint); non-payload turns pass through."""
-    from .extractors import extract_payload_text
+    from .extractors import extract_payload_text  # module-cached after first call
 
     src = None
     for candidate in (text, tool):
@@ -117,12 +117,27 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
 
 def extract_turns(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch of turns in, one batch of
-    extracted rows out. All per-byte work happens in the pure-Python parser
-    core on whole payloads (vectorized decode tables inside); pandas only
-    carries columns."""
+    extracted rows out. Non-payload (chat) rows are handled as a vectorized
+    pandas pass; only document-bearing rows enter the per-payload parser
+    core (which vectorizes its own byte work internally)."""
     for pdf in batches:
+        texts_in = pdf["text"].values
+        tools_in = pdf["tool"].values
+        is_doc = [
+            (t is not None and t.startswith(PAYLOAD_PREFIX))
+            or (o is not None and o.startswith(PAYLOAD_PREFIX))
+            for t, o in zip(texts_in, tools_in)
+        ]
         texts, spans, statuses, errors, metrics = [], [], [], [], []
-        for text, tool in zip(pdf["text"].values, pdf["tool"].values):
+        for doc, text, tool in zip(is_doc, texts_in, tools_in):
+            if not doc:
+                passthrough = text or ""
+                texts.append(passthrough)
+                spans.append([("main", 0, len(passthrough))])
+                statuses.append("skipped")
+                errors.append(None)
+                metrics.append((0, 0, len(passthrough), 0, 0))
+                continue
             t, s, st, err, m = _extract_one(text, tool)
             texts.append(t)
             spans.append(s)
