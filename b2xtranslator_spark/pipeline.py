@@ -218,7 +218,11 @@ def write_extracted(
             F.col("conv_bucket"),
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)),
         )
-        .sortWithinPartitions("conv_id", "turn_idx")
+        # the sort must LEAD with the partition column: FileFormatWriter
+        # re-sorts each task by partition columns when rows aren't already
+        # clustered on them, which would destroy the (conv_id, turn_idx)
+        # order
+        .sortWithinPartitions("conv_bucket", "conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("conv_bucket")
         .parquet(path)

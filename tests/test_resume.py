@@ -88,3 +88,24 @@ def test_rerun_same_run_id_is_noop(spark, transcripts_path, tmp_path_factory):
     stats = run_with_checkpoints(spark, transcripts_path, out, run_id="r3", n_groups=2)
     assert stats["groups_run"] == 0
     assert stats["groups_skipped"] == 2
+
+
+def test_write_extracted_files_are_sorted(spark, transcripts_path, tmp_path_factory):
+    """The sink contract: every output file is sorted by (conv_id, turn_idx)
+    — including under partitionBy, whose writer re-sorts tasks by partition
+    columns (the sort must lead with conv_bucket or ordering is destroyed)."""
+    import glob
+
+    import pandas as pd
+
+    from b2xtranslator_spark.pipeline import run_extraction, write_extracted
+
+    out = str(tmp_path_factory.mktemp("sink"))
+    transcripts = spark.read.parquet(transcripts_path)
+    write_extracted(run_extraction(transcripts), out, n_buckets=8)
+    files = glob.glob(f"{out}/conv_bucket=*/*.parquet")
+    assert files
+    for f in files:
+        pdf = pd.read_parquet(f)[["conv_id", "turn_idx"]]
+        expected = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert pdf.equals(expected), f"unsorted output file: {f}"
