@@ -368,13 +368,12 @@ class DocumentMapping:
         elif self._write_instr_text:
             text_type = "instrText"
 
-        w.start_element("w", text_type)
-
         # fast path: plain visible text, nothing special to dispatch on
         if not f_spec and text_type == "t" and _is_plain(chars):
-            w.write_string(chars.translate(_WIN1252_C1))
-            w.end_element()
+            w.text_element(chars.translate(_WIN1252_C1))
             return
+
+        w.start_element("w", text_type)
 
         doc = self.doc
         stop_re = _DISPATCH_STOP_SPEC_RE if f_spec else _DISPATCH_STOP_RE

@@ -144,6 +144,17 @@ class TextEventWriter:
             else:
                 self._cur.pure.append(text)
 
+    def text_element(self, text: str) -> None:
+        """Short-circuit for a complete plain ``w:t`` element: exactly the
+        end_element('t') propagation path (hyperlink-description capture or
+        parent pure-content append) without allocating the element. Only
+        valid when no w:t-specific attribute/state logic applies — i.e. the
+        caller is the plain-run fast path."""
+        if self._in_hyperlink_desc and self._pending_url is not None:
+            self._hyperlink_desc.append(text)
+        else:
+            self._cur.pure.append(text)
+
     def to_string(self) -> str:
         while self._stack:
             self.end_element()
