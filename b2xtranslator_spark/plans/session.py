@@ -30,12 +30,13 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # payloads are ~10KB-10MB each: small Arrow batches (a) bound executor
-        # memory for worst-case documents (ISSUE-003-Memory-Management.md) and
-        # (b) keep the Python-side work stream fine-grained so doc-size
-        # variance doesn't create stragglers (measured: 256-row batches left
-        # 32 cores 2.8x underutilized on the sample corpus)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+        # payloads are ~10KB-10MB each: Arrow batch size trades JVM<->Python
+        # handoff overhead against worst-case batch memory and straggler
+        # granularity. Swept on the sample corpus at local[32]: 32 rows
+        # 7.9s, 64 3.9s, 128 3.3s, 256 13s (memory pressure cliff) —
+        # 128 is the plateau (ISSUE-003-Memory-Management.md bounds still
+        # hold: 128 x 10MB worst case = 1.3GB per in-flight batch).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         # smaller splits than the 128MB default: payload rows are huge, so
         # 32MB keeps scan tasks plentiful and uniform for the map stage
         .config("spark.sql.files.maxPartitionBytes", "33554432")
