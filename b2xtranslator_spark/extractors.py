@@ -12,6 +12,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+from .budget import (
+    DEFAULT_BUDGET_SECONDS,
+    DocumentTimeout,
+    clear_deadline,
+    set_deadline,
+)
 from .formats import cfb
 from .formats.ppt import extract_ppt_text_parts
 from .formats.word.extract import extract_doc_text_parts, normalize_text
@@ -32,13 +38,20 @@ class ExtractResult:
 MAX_PAYLOAD_BYTES = 256 * 1024 * 1024  # per-document size cap (SCALING.md §2)
 
 
-def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractResult:
+def extract_payload_text(
+    payload: bytes,
+    extract_urls: bool = True,
+    budget_seconds: float = DEFAULT_BUDGET_SECONDS,
+) -> ExtractResult:
     """Extract plain text from one binary document payload.
 
     Never raises: per-document failure tolerance is a row-level contract
     (reference: per-file try/catch in Shell/doc2text/Program.cs:56-100 —
     at corpus scale one hostile document must not fail a task). Documents
-    over MAX_PAYLOAD_BYTES are skipped rather than risking executor memory."""
+    over MAX_PAYLOAD_BYTES are skipped rather than risking executor memory;
+    documents exceeding ``budget_seconds`` of decode wall time return
+    ``status='timeout'`` rather than stalling the partition (SURVEY.md §7:
+    hard timeouts/size caps per document)."""
     t0 = time.perf_counter()
     res = ExtractResult()
     if len(payload) > MAX_PAYLOAD_BYTES:
@@ -47,6 +60,7 @@ def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractRe
         res.metrics["bytes_decoded"] = 0
         res.metrics["wall_ms"] = 0
         return res
+    set_deadline(budget_seconds)
     try:
         storage = cfb.CompoundFile(payload)  # raises the magic-number error
         if storage.has_stream("WordDocument"):
@@ -65,6 +79,10 @@ def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractRe
         else:
             res.status = "unsupported"
             res.error = "no recognized document stream in container"
+    except DocumentTimeout as exc:
+        res.status = "timeout"
+        res.error = str(exc)
+        res.text = ""
     except Exception as exc:  # noqa: BLE001 — row-level tolerance by design
         msg = str(exc)
         if "encrypted" in msg.lower():
@@ -72,6 +90,8 @@ def extract_payload_text(payload: bytes, extract_urls: bool = True) -> ExtractRe
         else:
             res.status = "parse_error"
         res.error = msg
+    finally:
+        clear_deadline()
     res.metrics["bytes_decoded"] = len(payload)
     res.metrics["wall_ms"] = int((time.perf_counter() - t0) * 1000)
     return res

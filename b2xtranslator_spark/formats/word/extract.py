@@ -9,6 +9,7 @@ en-space cleanup; and the test normalization contract
 
 from __future__ import annotations
 
+from ...budget import DocumentTimeout
 from ..cfb import CompoundFile
 from .document import WordBinaryDocument
 from .mapping import (
@@ -65,6 +66,8 @@ def extract_doc_text_parts(
         gm = DocumentMapping(doc.glossary, writer, extract_urls, "glossary", shared)
         try:
             apply_glossary(gm)
+        except DocumentTimeout:
+            raise
         except Exception:
             pass
         end = writer.current_length()

@@ -131,10 +131,13 @@ def parse_fib(ws: bytes, offset: int = 0) -> Fib:
 
     fib.is_word95 = fib.n_fib in (NFIB_WORD6, NFIB_WORD95, 100)
     if fib.is_word95:
-        # Word95 offsets (FileInformationBlock.cs:516-575): CLX at 0x00A4,
-        # most table structures absent; ccpText fallback from fcMin/fcMac.
-        if len(ws) >= 0xAC:
-            fc_clx, lcb_clx = struct.unpack_from("<II", ws, 0x00A4)
+        # Word95 offsets (FileInformationBlock.cs:516-575): CLX at FIB-relative
+        # 0x00A4, most table structures absent; ccpText fallback from
+        # fcMin/fcMac. Offset-relative so a Word95-format glossary subdocument
+        # FIB (parsed at pn_next*512) reads its own CLX pointer, not the main
+        # FIB's (ADVICE r01).
+        if len(ws) >= offset + 0xAC:
+            fc_clx, lcb_clx = struct.unpack_from("<II", ws, offset + 0xA4)
             fib.fclcb["clx"] = (fc_clx, lcb_clx)
         if fib.ccp_text == 0 and fib.fc_mac > fib.fc_min:
             fib.ccp_text = fib.fc_mac - fib.fc_min

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import re
 
+from ...budget import DocumentTimeout, check_deadline
 from .document import OfficeArt, WordBinaryDocument
 from .sprm import TableInfo, get_symbol, is_special, revision_is_deleted
 from .writer import TextEventWriter
@@ -129,6 +130,7 @@ class DocumentMapping:
         guard = 0
         if nesting_level > 1:
             while tai.itap == nesting_level:
+                check_deadline()
                 cp = self.write_table_row(cp, nesting_level)
                 fc = self._cp_to_fc(cp)
                 papx = self.find_valid_papx(fc)
@@ -138,6 +140,7 @@ class DocumentMapping:
                     break
         else:
             while tai.f_in_table:
+                check_deadline()
                 cp = self.write_table_row(cp, nesting_level)
                 fc = doc.piece_table.cp_to_fc(cp)
                 if fc is None:
@@ -167,6 +170,7 @@ class DocumentMapping:
                 and doc.text[cp] == PARAGRAPH_END
                 and tai.f_inner_ttp
             ) and tai.f_in_table:
+                check_deadline()
                 cp = self.write_table_cell(cp, nesting_level)
                 fc = doc.piece_table.cp_to_fc(cp)
                 if fc is None:
@@ -180,6 +184,7 @@ class DocumentMapping:
             while not (
                 cp < len(doc.text) and doc.text[cp] == CELL_OR_ROW and tai.f_ttp
             ) and tai.f_in_table:
+                check_deadline()
                 cp = self.write_table_cell(cp, nesting_level)
                 fc = doc.piece_table.cp_to_fc(cp)
                 if fc is None:
@@ -198,6 +203,7 @@ class DocumentMapping:
         self.w.start_element("w", "tc")
         cp_cell_end = self.find_cell_end_cp(initial_cp, nesting_level)
         while cp < cp_cell_end:
+            check_deadline()
             if not doc.piece_table.contains_cp(cp):
                 break
             fc = self._cp_to_fc(cp)
@@ -220,18 +226,22 @@ class DocumentMapping:
             fc = self._cp_to_fc(initial_cp)
             papx = self.find_valid_papx(fc)
             tai = TableInfo(papx)
+            steps = 0
             while not tai.f_inner_table_cell:
                 cp_cell_end += 1
                 fc = self._cp_to_fc(cp_cell_end)
                 papx = self.find_valid_papx(fc)
                 tai = TableInfo(papx)
+                steps += 1
+                if steps & 0x3FF == 0:
+                    check_deadline()
             cp_cell_end += 1
         else:
-            text = doc.text
-            n = len(text)
-            while cp_cell_end < n and text[cp_cell_end] != CELL_OR_ROW:
-                cp_cell_end += 1
-            cp_cell_end += 1
+            # C-speed replacement for the reference's per-char forward scan
+            # (DocumentMapping.cs find-cell-end loop): first CELL_OR_ROW at or
+            # after initial_cp, exclusive end one past it.
+            hit = doc.text.find(CELL_OR_ROW, cp_cell_end)
+            cp_cell_end = (hit if hit >= 0 else len(doc.text)) + 1
         return cp_cell_end
 
     # -- paragraph / run conversion (DocumentMapping.cs:512-800) -----------------
@@ -511,6 +521,8 @@ class DocumentMapping:
             opt = shape.first_child(OfficeArt.OPT)
             if opt is not None and _opt_has_ltxid(opt.data):
                 return self._extract_textbox_text(self.shared["textbox_count"])
+        except DocumentTimeout:
+            raise
         except Exception:
             return ""
         return ""
@@ -527,6 +539,8 @@ class DocumentMapping:
             )
             sub.apply_textbox(textbox_index)
             return temp.to_string().strip()
+        except DocumentTimeout:
+            raise
         except Exception:
             return ""
 
@@ -545,6 +559,7 @@ class DocumentMapping:
         if doc.papx_fkps and doc.papx_fkps[0].grppapx:
             self._last_valid_papx = doc.papx_fkps[0].grppapx[0]
         while cp < cp_end:
+            check_deadline()
             fc = self._cp_to_fc(cp)
             papx = self.find_valid_papx(fc)
             tai = TableInfo(papx)
@@ -615,6 +630,7 @@ class DocumentMapping:
         cp, count = rng
         cp_max = cp + count - 1
         while cp < cp_max:
+            check_deadline()
             fc = sub._cp_to_fc(cp)
             papx = sub.find_valid_papx(fc)
             if papx is None:
@@ -738,6 +754,7 @@ def apply_main(m: DocumentMapping) -> None:
         m._last_valid_papx = []
     cp = 0
     while cp < doc.fib.ccp_text:
+        check_deadline()
         last_cp = cp
         if not doc.piece_table.contains_cp(cp):
             cp += 1
@@ -764,6 +781,7 @@ def apply_footnotes(m: DocumentMapping) -> None:
     cp = doc.fib.ccp_text
     n_text = len(doc.text)
     while cp < doc.fib.ccp_text + doc.fib.ccp_ftn - 2:
+        check_deadline()
         if cp >= n_text:
             # past the decoded text every writeParagraph call is a no-op that
             # advances cp by 1 (DocumentMapping.cs:522-526) and the wrapping
@@ -783,6 +801,7 @@ def apply_endnotes(m: DocumentMapping) -> None:
     cp_end = cp + fib.ccp_edn - 2
     n_text = len(doc.text)
     while cp < cp_end:
+        check_deadline()
         if cp >= n_text:
             break  # see apply_footnotes: pure no-op churn past text end
         m.w.start_element("w", "endnote")
@@ -806,6 +825,8 @@ def apply_glossary(m: DocumentMapping) -> None:
         try:
             if cp_end > cp_start and doc.piece_table.contains_cp(cp_start):
                 m._write_paragraph_range(cp_start, cp_end, False)
+        except DocumentTimeout:
+            raise
         except Exception:
             pass  # glossary damage must not fail the document
         m.w.end_element()

@@ -13,6 +13,7 @@ import struct
 from bisect import bisect_right
 from dataclasses import dataclass
 
+from ...budget import check_deadline
 from .encodings import UNICODE, decode_piece
 
 
@@ -117,6 +118,7 @@ class PieceTable:
         """PieceTable.GetAllChars (PieceTable.cs:174-201)."""
         parts = []
         for p in self.pieces:
+            check_deadline()
             parts.append(decode_piece(_read(word_stream, p.fc, p.fc_end), p.codepage))
         return "".join(parts)
 
@@ -154,13 +156,23 @@ class PieceTable:
         return "".join(parts)
 
 
+# Maximum zero-fill beyond the physical end of the WordDocument stream. Real
+# documents only ever need a few bytes of tail padding (a piece whose declared
+# fc_end marginally overruns the stream); a fuzzed piece descriptor can declare
+# a ~4 GiB extent, and an unbounded pad would allocate it all — defeating the
+# executor-memory cap (ADVICE r01, profiled 11.5s in one _read). 1 MiB is
+# >1000x any legitimate pad observed across the 205-sample corpus.
+_MAX_PAD_BYTES = 1 << 20
+
+
 def _read(stream: bytes, start: int, end: int) -> bytes:
     """VirtualStream.Read semantics: short reads leave the zero-initialized
-    tail in place, so pad to the requested length."""
+    tail in place, so pad to the requested length — but clamp the pad so a
+    corrupt piece descriptor cannot force a multi-GiB allocation."""
     cb = end - start
     if cb <= 0:
         return b""
     chunk = stream[max(0, start) : max(0, end)]
     if len(chunk) < cb:
-        chunk = chunk + b"\x00" * (cb - len(chunk))
+        chunk = chunk + b"\x00" * min(cb - len(chunk), _MAX_PAD_BYTES)
     return chunk

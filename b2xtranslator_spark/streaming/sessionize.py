@@ -47,43 +47,80 @@ STATE_SCHEMA = StructType(
 GAP_SECONDS = 1800
 
 
-def sessionize_turns(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState kernel: emits one row per CLOSED session; the
-    open session lives in state."""
-    (conv_id,) = key
-    if state.exists:
-        session_no, last_ts, n_turns, first_ts = state.get
-    else:
-        session_no, last_ts, n_turns, first_ts = 0, None, 0, None
+def make_sessionizer(gap_seconds: int = GAP_SECONDS):
+    """Build an applyInPandasWithState kernel closed over the idle gap.
 
-    closed: list[tuple] = []
-    ts_values: list[int] = []
-    for pdf in pdfs:
-        ts_values.extend(int(v) for v in pdf["ts_epoch"].values)
-    for ts in sorted(ts_values):
-        if last_ts is not None and ts - last_ts > GAP_SECONDS:
-            closed.append((conv_id, session_no, n_turns, first_ts, last_ts))
-            session_no += 1
-            n_turns = 0
-            first_ts = ts
-        if first_ts is None:
-            first_ts = ts
-        last_ts = ts
-        n_turns += 1
+    Emits one row per CLOSED session; the open session lives in state. A
+    processing-time timeout flushes the final session of an idle conversation
+    — without it a conversation that simply stops would hold its last session
+    in state forever ("emit a segment once it has been quiet for N minutes"
+    requires the quiet case to fire; ADVICE r01)."""
 
-    state.update((session_no, last_ts, n_turns, first_ts))
-    if closed:
-        yield pd.DataFrame(
-            closed,
-            columns=["conv_id", "session_no", "n_turns", "first_ts", "last_ts"],
-        )
+    def sessionize_turns(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+
+        if state.hasTimedOut:
+            # idle flush: no new turns arrived within the gap — close + clear
+            session_no, last_ts, n_turns, first_ts = state.get
+            state.remove()
+            if n_turns > 0:
+                yield pd.DataFrame(
+                    [(conv_id, session_no, n_turns, first_ts, last_ts)],
+                    columns=["conv_id", "session_no", "n_turns", "first_ts", "last_ts"],
+                )
+            return
+
+        if state.exists:
+            session_no, last_ts, n_turns, first_ts = state.get
+        else:
+            session_no, last_ts, n_turns, first_ts = 0, None, 0, None
+
+        closed: list[tuple] = []
+        ts_values: list[int] = []
+        for pdf in pdfs:
+            ts_values.extend(int(v) for v in pdf["ts_epoch"].values)
+        for ts in sorted(ts_values):
+            if last_ts is not None and ts - last_ts > gap_seconds:
+                closed.append((conv_id, session_no, n_turns, first_ts, last_ts))
+                session_no += 1
+                n_turns = 0
+                first_ts = ts
+            if first_ts is None:
+                first_ts = ts
+            last_ts = ts
+            n_turns += 1
+
+        state.update((session_no, last_ts, n_turns, first_ts))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["conv_id", "session_no", "n_turns", "first_ts", "last_ts"],
+            )
+
+    return sessionize_turns
 
 
-def start_sessionize_stream(spark, input_dir, output_dir, checkpoint_dir):
+sessionize_turns = make_sessionizer()
+
+
+def start_sessionize_stream(
+    spark,
+    input_dir,
+    output_dir,
+    checkpoint_dir,
+    gap_seconds: int = GAP_SECONDS,
+    available_now: bool = True,
+):
+    """Note on triggers: with ProcessingTimeTimeout pending state keeps an
+    availableNow query alive past the last data batch (timeouts still need to
+    fire), so batch-style callers should awaitTermination with a bound and
+    stop() — closed sessions are committed per micro-batch either way. A
+    continuous deployment passes available_now=False for a rolling trigger."""
     from pyspark.sql import functions as F
 
     from .ingest import TRANSCRIPT_SCHEMA
@@ -95,17 +132,20 @@ def start_sessionize_stream(spark, input_dir, output_dir, checkpoint_dir):
         .select("conv_id", "ts_epoch")
     )
     sessions = source.groupBy("conv_id").applyInPandasWithState(
-        sessionize_turns,
+        make_sessionizer(gap_seconds),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    return (
+    writer = (
         sessions.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()

@@ -36,10 +36,10 @@ def test_mutated_documents_never_raise_and_stay_bounded():
             res = extract_payload_text(bytes(mutated))
             dt = time.perf_counter() - t0
             worst = max(worst, dt)
-            assert res.status in ("ok", "encrypted", "parse_error", "unsupported")
-            assert dt < 30, f"mutation of {os.path.basename(path)} took {dt:.1f}s"
+            assert res.status in ("ok", "encrypted", "parse_error", "unsupported", "timeout")
+            assert dt < 10, f"mutation of {os.path.basename(path)} took {dt:.1f}s"
     # corpus-scale sanity: no mutation should stall a partition
-    assert worst < 30
+    assert worst < 10
 
 
 @pytest.mark.skipif(not SAMPLES, reason="reference corpus unavailable")
@@ -50,7 +50,7 @@ def test_truncated_documents_never_raise():
         for frac in (0.01, 0.1, 0.5, 0.9):
             cut = max(1, int(len(payload) * frac))
             res = extract_payload_text(payload[:cut])
-            assert res.status in ("ok", "encrypted", "parse_error", "unsupported")
+            assert res.status in ("ok", "encrypted", "parse_error", "unsupported", "timeout")
         # random small garbage
         res = extract_payload_text(bytes(rng.integers(0, 256, size=700, dtype=np.uint8)))
         assert res.status in ("parse_error", "unsupported")
