@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from b2xtranslator_spark.operators.dedup import (  # noqa: E402
+    SIMHASH_BITS,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_candidate_pairs,
 )
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
     run_media_features,
@@ -35,6 +37,7 @@ from b2xtranslator_spark.operators.similarity import (  # noqa: E402
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_near_duplicates_fast,
+    embedding_near_duplicates_lsh,
 )
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
@@ -147,8 +150,19 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_candidate_pairs(docs, max_hamming=3)
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(_table(spark, sf_dir, "embeddings"), 0, 10, n_planes=4)
+
+
+def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_duplicates_lsh(
+        _table(spark, sf_dir, "embeddings"), threshold=0.35, max_vecs=400
+    )
 
 
 # -- oracle-checkable queries -----------------------------------------------------
@@ -160,7 +174,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        _table(spark, sf_dir, "documents"), threshold=0.3, max_docs=200
+        _table(spark, sf_dir, "documents"), threshold=0.3, max_docs=200, max_df=100
     )
 
 
@@ -283,13 +297,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_agg": _q_extract_metrics,
         "media_features": _q_media_features,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_simhash": _q_simhash,
-        "similarity_topk_lsh": _q_ann_lsh,
         # oracle-checked
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "similarity_topk_lsh": _q_ann_lsh,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embed_neardup,
         "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
+        "dedup_embedding_lsh": _q_embed_neardup_lsh,
         "similarity_topk_bruteforce": _q_similarity_topk,
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
@@ -307,6 +323,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sql_words(expr: str = "text") -> str:
     return f"string_split(lower({expr}), ' ')"
+
+
+# -- SQL generators for the hash/LSH oracles --------------------------------------
+# Deterministic integer arithmetic shared with the Spark operators: the same
+# hyperplane family (operators/similarity.py) and md5-60bit token hash
+# (operators/dedup.py) are reproduced verbatim in DuckDB SQL.
+
+_LSH_M1, _LSH_M2, _LSH_MX, _LSH_C, _LSH_MOD, _LSH_HALF = (
+    48271, 69621, 2654435761, 7919, 2001, 1000
+)
+
+
+def _sql_simhash_cte(doc_cap: int) -> str:
+    """CTE computing (doc_id, simhash) exactly as operators.dedup.simhash."""
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    hash_bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+            tok AS (
+                SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+                FROM documents WHERE doc_id < {doc_cap}
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+                FROM tok WHERE length(w) > 0
+            ),
+            votes AS (
+                SELECT doc_id,
+                   {votes}
+                FROM hashed GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT doc_id, {hash_bits} AS simhash FROM votes
+            )"""
+
+
+def _sql_lsh_buckets_cte(n_planes: int) -> str:
+    """CTE computing (vec_id, bucket) exactly as operators.similarity
+    lsh_bucket with the deterministic hyperplane family."""
+    projs = ",\n                       ".join(
+        f"sum(x * ((({_LSH_M1}*{p} + {_LSH_M2}*d + {_LSH_MX}*{p}*d + {_LSH_C})"
+        f" % {_LSH_MOD}) - {_LSH_HALF})) AS p{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN p{p} >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+            flat AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       unnest(generate_series(0, len(embedding)-1)) AS d
+                FROM embeddings
+            ),
+            proj AS (
+                SELECT vec_id,
+                       {projs}
+                FROM flat GROUP BY vec_id
+            ),
+            buck AS (
+                SELECT vec_id, {bucket} AS bucket FROM proj
+            )"""
 
 
 def _sql_lang_hits(lang: str) -> str:
@@ -335,12 +420,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_ngram_jaccard": f"""
-            WITH tok AS (
+            WITH tok_all AS (
                 SELECT DISTINCT doc_id, w FROM (
                     SELECT doc_id,
                            unnest(string_split({norm}, ' ')) AS w
                     FROM documents WHERE doc_id < 200
                 ) WHERE length(w) > 2
+            ),
+            -- token document-frequency cap (max_df=100), mirrored in Spark
+            tok AS (
+                SELECT doc_id, w FROM tok_all
+                QUALIFY count(*) OVER (PARTITION BY w) <= 100
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
             inter AS (
@@ -373,6 +463,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 400 AND b.vec_id < 400 AND a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "dedup_embedding_lsh": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 400 AND b.vec_id < 400 AND a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "dedup_simhash": f"""
+            WITH {_sql_simhash_cte(300)}
+            SELECT doc_id, simhash FROM sig
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {_sql_simhash_cte(300)},
+            keyed AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 15)) & 32767 AS key
+                FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM keyed a
+            JOIN keyed b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "similarity_topk_lsh": f"""
+            WITH {_sql_lsh_buckets_cte(4)}
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                qe.embedding::DOUBLE[]), 6) AS cosine
+            FROM buck b
+            JOIN buck q ON b.bucket = q.bucket AND q.vec_id = 0
+            JOIN embeddings e ON e.vec_id = b.vec_id
+            JOIN embeddings qe ON qe.vec_id = 0
+            WHERE e.vec_id != 0
+            ORDER BY cosine DESC, e.vec_id ASC
+            LIMIT 10
         """,
         "similarity_topk_bruteforce": """
             SELECT e.vec_id,

@@ -100,16 +100,30 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """SimHash: per-token 64-bit hash, per-bit +/-1 vote, sign -> bit.
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit lane
 
-    One explode + one groupBy; the per-bit votes are computed as an array
-    aggregation inside Catalyst (no Python)."""
+
+def _token_hash60(col):
+    """60-bit token hash from the first 15 hex digits of md5 — chosen over
+    xxhash64 so the identical value is computable in portable SQL
+    (DuckDB: CAST(('0x'||substr(md5(w),1,15)) AS BIGINT)), making the whole
+    SimHash family oracle-checkable."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: per-token 60-bit md5-derived hash, per-bit +/-1 vote,
+    sign -> bit.
+
+    One explode + one groupBy; the per-bit votes are computed map-side
+    (partial agg) inside Catalyst (no Python)."""
     words = F.split(_norm_text(), " ")
     tok = documents.select("doc_id", F.explode(words).alias("w")).where(
         F.length("w") > 0
     )
-    h = F.xxhash64("w")
+    h = _token_hash60(F.col("w"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -125,14 +139,67 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return voted.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash pair-finding: band the hash into ``bands`` disjoint bit slices
+    and equi-join on (band, slice). By pigeonhole, any pair within
+    ``bands - 1`` Hamming distance shares at least one identical band, so
+    with 4 bands the candidate join has 100% recall for hamming <= 3 — then
+    an exact popcount(xor) filter verifies. The shuffle is O(docs x bands),
+    never all-pairs (the banding mirror of minhash_lsh_candidates)."""
+    sig = simhash(documents, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "band", "key",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, max_docs: int | None = None
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_docs: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity for pairs sharing >=1 token.
 
     Distinct-token self-join: |A ∩ B| from the join, |A|,|B| from per-doc
     counts; only pairs with a common token ever shuffle. Used standalone on
-    small corpora and as the verify stage after LSH candidates at scale."""
+    small corpora and as the verify stage after LSH candidates at scale.
+
+    ``max_df`` drops tokens appearing in more than that many documents
+    BEFORE the self-join: a token with document frequency k contributes k^2
+    join rows, so one stop-word-like token across the corpus would otherwise
+    go quadratic (the join-row guard the self-join plan needs at scale).
+    The cap changes the token sets, i.e. the Jaccard definition — callers
+    (and the oracle SQL) must apply the same cap."""
     docs = documents
     if max_docs is not None:
         docs = docs.where(F.col("doc_id") < max_docs)
@@ -140,6 +207,14 @@ def ngram_jaccard_pairs(
     tok = docs.select("doc_id", F.explode(words).alias("w")).where(
         F.length("w") > 2
     ).distinct()
+    if max_df is not None:
+        from pyspark.sql.window import Window
+
+        tok = (
+            tok.withColumn("df", F.count("*").over(Window.partitionBy("w")))
+            .where(F.col("df") <= max_df)
+            .drop("df")
+        )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         tok.alias("a")

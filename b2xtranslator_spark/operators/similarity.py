@@ -2,17 +2,30 @@
 
 - brute-force cosine top-k: the exact baseline (oracle-checkable against
   DuckDB's list_cosine_similarity)
-- LSH-bucketed ANN: sign-of-projection bucketing with deterministic
-  pseudo-random hyperplanes derived from (plane, dim) index hashes, so the
-  same buckets are computable on any engine without shipping weights.
-  At 100TB scale the bucket join replaces the cross join: each probe only
-  scans its bucket (and optionally neighboring buckets for recall).
+- sign-of-projection LSH with deterministic pseudo-random hyperplanes whose
+  integer weights are pure arithmetic in (plane, dim) — so the exact same
+  buckets are computable on any engine (DuckDB oracle included) without
+  shipping weights. The plane family includes a plane*dim cross term: without
+  it every plane is a shifted window of one LCG sequence and bands are
+  correlated (measured: recall plateaus no matter how many bands are added).
+- banded LSH near-duplicate pipeline: candidates from a per-band bucket
+  equi-join (shuffle O(vecs x bands), never all-pairs), verified by exact
+  cosine. At 100 TB this replaces the cross join; threshold drives the
+  (planes_per_band, bands) choice — high thresholds (0.9+) want long bands
+  (8+ planes) for tiny buckets, low thresholds want short bands + more of
+  them for recall.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# deterministic hyperplane family: weight(plane, dim) =
+#   ((M1*plane + M2*dim + MX*plane*dim + C) % MOD) - (MOD-1)/2
+# The MX cross term decorrelates planes (see module docstring).
+_M1, _M2, _MX, _C, _MOD = 48271, 69621, 2654435761, 7919, 2001
+_HALF = (_MOD - 1) // 2  # 1000
 
 
 def _dot(a, b):
@@ -55,16 +68,18 @@ def cosine_topk_bruteforce(
 
 
 def _hyperplane_sign(embedding_col, plane: int):
-    """Deterministic pseudo-random hyperplane: weight(plane, dim) =
-    ((1 + plane*31 + dim*7) % 13) - 6, centered-ish integers. The projection
-    sign is one LSH bit. Expressible identically in portable SQL."""
+    """Sign of the projection onto deterministic hyperplane ``plane`` — one
+    LSH bit. Integer weights, expressible identically in portable SQL."""
     weighted = F.aggregate(
         F.zip_with(
             embedding_col,
             F.sequence(F.lit(0), F.size(embedding_col) - 1),
-            lambda x, d: (
-                x * (((F.lit(1 + plane * 31) + d * 7) % 13) - 6).cast("double")
-            ),
+            lambda x, d: x.cast("double") * (
+                (
+                    (F.lit(_M1 * plane) + F.lit(_M2) * d
+                     + F.lit(_MX * plane) * d + F.lit(_C)) % _MOD
+                ) - _HALF
+            ).cast("double"),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -80,58 +95,117 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     return embeddings.select("vec_id", bucket.alias("bucket"), "embedding")
 
 
-def embedding_near_duplicates_fast(
-    embeddings: DataFrame, threshold: float = 0.35, max_vecs: int | None = 400
+def lsh_band_buckets(
+    embeddings: DataFrame, bands: int, planes_per_band: int
 ) -> DataFrame:
-    """NumPy-matmul variant of dedup.embedding_near_duplicates: one
-    mapInPandas over a broadcast right side scores a whole Arrow batch with
-    a single BLAS call (~10-100x the per-element Catalyst aggregate). Same
-    output contract (vec_a < vec_b, cosine >= threshold)."""
-    import numpy as np
-    import pandas as pd
+    """One row per (vector, band): the band's bucket key from its own
+    disjoint slice of the plane family. The downstream equi-join on
+    (band, bucket) is the scale path — each vector shuffles ``bands`` times,
+    never pairwise."""
+    band_structs = []
+    for b in range(bands):
+        key = F.lit(0)
+        for r in range(planes_per_band):
+            plane = b * planes_per_band + r
+            key = key * 2 + _hyperplane_sign(F.col("embedding"), plane)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("bucket"))
+        )
+    return embeddings.select(
+        "vec_id", "embedding", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
 
-    spark = embeddings.sparkSession
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    max_vecs: int | None = 400,
+    bands: int = 20,
+    planes_per_band: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs via banded sign-LSH candidates + exact-cosine
+    verify. Same output contract as dedup.embedding_near_duplicates (the
+    exact cross-join spec), but the candidate shuffle is a bucket equi-join —
+    O(vecs x bands) rows — so the plan survives corpus scale where the
+    cross join cannot. Recall is tuned by (bands, planes_per_band); the
+    defaults give 100% recall at threshold 0.35 on the test corpus with a
+    4-band margin (empirically 0 misses from 16 bands up)."""
     vecs = embeddings
     if max_vecs is not None:
         vecs = vecs.where(F.col("vec_id") < max_vecs)
-    rows = vecs.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def score(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy()
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            ai, bi = np.nonzero(
-                (np.round(sims, 6) >= threshold)
-                & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine": np.round(sims[ai, bi], 6),
-                }
-            )
-
-    return vecs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        score, "vec_a long, vec_b long, cosine double"
+    bb = lsh_band_buckets(vecs, bands, planes_per_band)
+    a = bb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "band", "bucket",
+    )
+    b = bb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "band", "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(_dot(F.col("ea"), F.col("eb"))
+                    / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
+def embedding_near_duplicates_fast(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    max_vecs: int | None = 400,
+    bands: int = 20,
+    planes_per_band: int = 2,
+) -> DataFrame:
+    """NumPy-matmul variant of embedding_near_duplicates_lsh: one BLAS call
+    per (band, bucket) group via applyInPandas scores the whole bucket at
+    once (~10-100x the per-element Catalyst aggregate). No driver collect,
+    no broadcast of vector data — each bucket is scored where it lands after
+    the band shuffle. HALF_UP rounding to match Spark's F.round / the DuckDB
+    oracle (np.round is banker's rounding; ADVICE r01)."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = embeddings
+    if max_vecs is not None:
+        vecs = vecs.where(F.col("vec_id") < max_vecs)
+    bb = lsh_band_buckets(vecs, bands, planes_per_band)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        rounded = np.floor(sims * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+        ai, bi = np.nonzero((rounded >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "cosine": rounded[ai, bi]}
+        )
+
+    pairs = bb.groupBy("band", "bucket").applyInPandas(
+        score_bucket, "vec_a long, vec_b long, cosine double"
+    )
+    # a pair can surface from several bands with the identical cosine
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
+
+
 def cosine_topk_lsh(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 6
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 4
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket.
 
     The scale path: the bucket equi-join shuffles each vector once by bucket
     id instead of cross-joining; recall is tuned by n_planes (fewer planes =
-    bigger buckets = higher recall)."""
+    bigger buckets = higher recall). Deterministic planes make the bucket
+    assignment — and therefore the result — oracle-expressible in SQL."""
     bucketed = lsh_bucket(embeddings, n_planes)
     query = bucketed.where(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q")

@@ -99,3 +99,40 @@ def test_media_feature_plumbing(spark):
     a = feats.sort_values("media_id").reset_index(drop=True)
     b = again.sort_values("media_id").reset_index(drop=True)
     assert (a.feature.map(tuple) == b.feature.map(tuple)).all()
+
+
+def test_simhash_pairs_find_planted_dups(docs, spark):
+    """Banded pigeonhole join: exact duplicates (hamming 0) must always be
+    candidates; planted one-word edits must appear when within the bound."""
+    from b2xtranslator_spark.operators.dedup import simhash_candidate_pairs
+
+    # exact duplicates: copy 3 docs verbatim under new ids
+    dup = docs.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(dup)
+    pairs = simhash_candidate_pairs(corpus, max_hamming=0).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    assert {(i, i + 200000) for i in range(3)} <= found
+    assert (pairs.hamming == 0).all()
+
+
+def test_embedding_lsh_equals_exact(embeddings):
+    """The banded-LSH candidates + exact verify must reproduce the exact
+    cross-join operator pair-for-pair (the LSH is a plan change, not a
+    semantics change, at the tuned recall)."""
+    from b2xtranslator_spark.operators.dedup import embedding_near_duplicates
+    from b2xtranslator_spark.operators.similarity import (
+        embedding_near_duplicates_fast,
+        embedding_near_duplicates_lsh,
+    )
+
+    exact = embedding_near_duplicates(embeddings, threshold=0.35, max_vecs=200)
+    want = {(r.vec_a, r.vec_b, r.cosine) for r in exact.toPandas().itertuples()}
+    assert want, "test corpus should contain pairs above threshold"
+    for fn in (embedding_near_duplicates_lsh, embedding_near_duplicates_fast):
+        got = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in fn(embeddings, threshold=0.35, max_vecs=200).toPandas().itertuples()
+        }
+        assert got == want, f"{fn.__name__}: {len(got ^ want)} differing pairs"
