@@ -117,33 +117,36 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
 
 def extract_turns(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch of turns in, one batch of
-    extracted rows out. Non-payload (chat) rows are handled as a vectorized
-    pandas pass; only document-bearing rows enter the per-payload parser
-    core (which vectorizes its own byte work internally)."""
+    extracted rows out. Non-payload (chat) rows never enter a per-row Python
+    conditional: the whole batch is mask-assigned with vectorized pandas ops
+    and only the document-bearing indices loop into the parser core (which
+    vectorizes its own byte work internally)."""
+    import numpy as np
+
     for pdf in batches:
-        texts_in = pdf["text"].values
-        tools_in = pdf["tool"].values
-        is_doc = [
-            (t is not None and t.startswith(PAYLOAD_PREFIX))
-            or (o is not None and o.startswith(PAYLOAD_PREFIX))
-            for t, o in zip(texts_in, tools_in)
-        ]
-        texts, spans, statuses, errors, metrics = [], [], [], [], []
-        for doc, text, tool in zip(is_doc, texts_in, tools_in):
-            if not doc:
-                passthrough = text or ""
-                texts.append(passthrough)
-                spans.append([("main", 0, len(passthrough))])
-                statuses.append("skipped")
-                errors.append(None)
-                metrics.append((0, 0, len(passthrough), 0, 0))
-                continue
-            t, s, st, err, m = _extract_one(text, tool)
-            texts.append(t)
-            spans.append(s)
-            statuses.append(st)
-            errors.append(err)
-            metrics.append(m)
+        text_s = pdf["text"]
+        tool_s = pdf["tool"]
+        is_doc = (
+            text_s.str.startswith(PAYLOAD_PREFIX).fillna(False)
+            | tool_s.str.startswith(PAYLOAD_PREFIX).fillna(False)
+        ).to_numpy()
+
+        # vectorized passthrough defaults for every row (chat rows keep them)
+        passthrough = text_s.fillna("")
+        texts = passthrough.to_numpy(dtype=object).copy()
+        lens = passthrough.str.len().to_numpy()
+        spans = [[("main", 0, int(n))] for n in lens]
+        statuses = np.full(len(pdf), "skipped", dtype=object)
+        errors: list = [None] * len(pdf)
+        metrics: list = [(0, 0, int(n), 0, 0) for n in lens]
+
+        for i in np.nonzero(is_doc)[0]:
+            t, s, st, err, m = _extract_one(text_s.iat[i], tool_s.iat[i])
+            texts[i] = t
+            spans[i] = s
+            statuses[i] = st
+            errors[i] = err
+            metrics[i] = m
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].values,
@@ -244,7 +247,21 @@ def run_with_checkpoints(
     one Spark job committed with an idempotent overwrite + a checkpoint row.
     Re-running with the same run_id skips completed groups (FIXTURES.md §5).
 
+    Group selection must PRUNE, not rescan: a predicate on
+    pmod(xxhash64(conv_id)) cannot push into a parquet scan, so n_groups
+    groups would read the corpus n_groups times. The input is therefore
+    staged ONCE partitioned by the group key (one scan + one shuffle-free
+    write); every group then reads only its own partition directory. On a
+    real deployment the input is an Iceberg table bucketed by conv_id and
+    the staging step disappears — bucket partition pruning does this for
+    free at the metadata layer.
+
+    Per-group metrics ride the write job via Observation (no second read of
+    the written output).
+
     fail_after_groups is a test hook simulating a killed run."""
+    from pyspark.sql import Observation
+
     ckpt_path = os.path.join(out_dir, "_checkpoints")
     done: set[int] = set()
     try:
@@ -258,8 +275,18 @@ def run_with_checkpoints(
     except Exception:
         pass  # first run: no checkpoint table yet
 
-    transcripts = spark.read.parquet(transcripts_path)
     group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    staged_path = os.path.join(out_dir, "_staged")
+    if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+        (
+            spark.read.parquet(transcripts_path)
+            .withColumn("grp", group_col)
+            .write.mode("overwrite")
+            .partitionBy("grp")
+            .parquet(staged_path)
+        )
+    staged = spark.read.parquet(staged_path)
+
     processed = 0
     stats = {"groups_run": 0, "groups_skipped": len(done)}
     for group in range(n_groups):
@@ -268,8 +295,16 @@ def run_with_checkpoints(
         if fail_after_groups is not None and processed >= fail_after_groups:
             stats["killed"] = True
             return stats
-        subset = transcripts.where(group_col == group)
-        extracted = run_extraction(subset)
+        # partition pruning: only the grp=<group> directory is scanned
+        subset = staged.where(F.col("grp") == group).drop("grp")
+        obs = Observation()
+        extracted = run_extraction(subset).observe(
+            obs,
+            F.count(F.lit(1)).alias("turns"),
+            F.sum("metrics.docs_parsed").alias("docs_parsed"),
+            F.sum("metrics.records_decoded").alias("records_decoded"),
+            F.sum("metrics.failures").alias("failures"),
+        )
         group_out = os.path.join(out_dir, f"group={group}")
         (
             extracted.sortWithinPartitions("conv_id", "turn_idx")
@@ -278,16 +313,7 @@ def run_with_checkpoints(
         )
         # lineage + metrics row; append is safe because resume filters on
         # (run_id, state, partition_id) and group commits are idempotent
-        agg = (
-            spark.read.parquet(group_out)
-            .agg(
-                F.count("*").alias("turns"),
-                F.sum("metrics.docs_parsed").alias("docs_parsed"),
-                F.sum("metrics.records_decoded").alias("records_decoded"),
-                F.sum("metrics.failures").alias("failures"),
-            )
-            .collect()[0]
-        )
+        agg = obs.get
         row = [
             (
                 run_id,

@@ -109,3 +109,28 @@ def test_write_extracted_files_are_sorted(spark, transcripts_path, tmp_path_fact
         pdf = pd.read_parquet(f)[["conv_id", "turn_idx"]]
         expected = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         assert pdf.equals(expected), f"unsorted output file: {f}"
+
+
+def test_group_selection_prunes_staged_partitions(
+    spark, transcripts_path, tmp_path_factory
+):
+    """Resume I/O contract: per-group work reads ONLY that group's staged
+    partition directory (partition pruning), never the full corpus — the
+    pmod(xxhash64) predicate alone cannot push into a parquet scan, which
+    would make n_groups resumed groups cost n_groups full rescans."""
+    out = str(tmp_path_factory.mktemp("out_prune"))
+    run_with_checkpoints(spark, transcripts_path, out, run_id="r4", n_groups=N_GROUPS)
+
+    staged = spark.read.parquet(f"{out}/_staged")
+    one_group = staged.where(F.col("grp") == 1)
+    plan = one_group._jdf.queryExecution().executedPlan().toString()
+    # the group predicate must land in PartitionFilters (metadata pruning),
+    # not PushedFilters/post-scan Filter (which would still list all files)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "grp" in pf and "= 1" in pf, f"group filter not pruned: {pf}"
+    # and the staged layout is physically partitioned by group
+    import glob
+
+    assert glob.glob(f"{out}/_staged/grp=1/*.parquet")
+    assert len(glob.glob(f"{out}/_staged/grp=*")) == N_GROUPS
