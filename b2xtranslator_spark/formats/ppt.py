@@ -26,6 +26,7 @@ from .cfb import CompoundFile
 RT_DOCUMENT = 1000
 RT_SLIDE = 1006
 RT_NOTES = 1008
+RT_MAIN_MASTER = 1016
 RT_SLIDE_PERSIST_ATOM = 1011
 RT_USER_EDIT_ATOM = 4085
 RT_PERSIST_DIRECTORY = 6002
@@ -175,7 +176,11 @@ def extract_ppt_text_parts(storage: CompoundFile) -> tuple[str, int]:
                     if off is None:
                         continue
                     srec = _read_header(stream, off)
-                    if srec is not None and srec.type in (RT_SLIDE, RT_NOTES):
+                    if srec is not None and srec.type in (
+                        RT_SLIDE,
+                        RT_NOTES,
+                        RT_MAIN_MASTER,
+                    ):
                         _collect_text(
                             stream, srec.start, srec.start + srec.length, parts
                         )
@@ -192,14 +197,19 @@ def _walk_doc(
     stream: bytes, doc_rec: Rec, parts: list[str], slide_ids: list[int]
 ) -> None:
     """Inside the DocumentContainer: collect SlideListWithText outline text
-    and the slide persist ids in presentation order."""
+    and the slide persist ids in presentation order.
+
+    ALL SlideListWithText instances are walked — slides (instance 0),
+    masters (1), and notes (2) — matching the reference's full list walk
+    (PowerpointDocument.cs:398-412); notes/master text is part of the
+    extraction surface, not just slide bodies."""
     pos = doc_rec.start
     end = doc_rec.start + doc_rec.length
     while pos + 8 <= end:
         rec = _read_header(stream, pos)
         if rec is None:
             break
-        if rec.type == RT_SLIDE_LIST_WITH_TEXT and (rec.ver_inst >> 4) == 0:
+        if rec.type == RT_SLIDE_LIST_WITH_TEXT:
             inner = rec.start
             inner_end = rec.start + rec.length
             while inner + 8 <= inner_end:

@@ -40,6 +40,7 @@ R_MULRK = 0x00BD
 R_FORMULA = 0x0006
 R_STRING = 0x0207
 R_BOOLERR = 0x0205
+R_RSTRING = 0x00D6
 
 
 _BIFF_ERRORS = {
@@ -271,6 +272,16 @@ def extract_xls_text_parts(storage: CompoundFile) -> tuple[str, int]:
                     else:
                         (value,) = struct.unpack_from("<d", result, 0)
                         cells[(rw, col)] = _fmt_number(value)
+                elif rid == R_RSTRING and length >= 8:
+                    # RString [MS-XLS 2.4.226]: rich byte-string cell
+                    # (BIFF3-7 era, still written by old exporters):
+                    # rw, col, ixfe, cch(u16), ANSI chars, formatting runs
+                    rw, col, _ixfe = struct.unpack_from("<HHH", stream, lb_ply_pos + off)
+                    base = lb_ply_pos + off + 6
+                    (cch,) = struct.unpack_from("<H", stream, base)
+                    cells[(rw, col)] = stream[base + 2 : base + 2 + cch].decode(
+                        "latin-1"
+                    )
                 elif rid == R_BOOLERR and length >= 8:
                     rw, col, _ixfe = struct.unpack_from("<HHH", stream, lb_ply_pos + off)
                     b_val = stream[lb_ply_pos + off + 6]
