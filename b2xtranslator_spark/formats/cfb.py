@@ -160,13 +160,13 @@ class CompoundFile:
         entries: list[DirectoryEntry] = []
         for sid in range(len(raw) // 128):
             off = sid * 128
-            # DirectoryEntry.cs:38-44: decode the full 64-byte name field,
-            # truncate at the first NUL, then apply the declared length if
-            # plausible
+            # DirectoryEntry.cs:38-44 + InputHandler.ReadString: decode the
+            # full 64-byte name field WITHOUT NUL truncation (the raw name is
+            # always 32 UTF-16 units), then take (declared_len/2 - 1) chars;
+            # an implausible declared length falls back to all 32 — which the
+            # >=32 name check in the tree walk then rejects, exactly like the
+            # reference's '_ab' validation
             raw_name = raw[off : off + 64].decode("utf-16-le", errors="replace")
-            nul = raw_name.find("\x00")
-            if nul >= 0:
-                raw_name = raw_name[:nul]
             (name_len,) = struct.unpack_from("<H", raw, off + 64)
             n_chars = (name_len // 2) - 1
             if n_chars > len(raw_name) or n_chars < 0:
@@ -183,28 +183,31 @@ class CompoundFile:
             entries.append(
                 DirectoryEntry(sid, name, etype, left, right, child, start_sector, size)
             )
-        # tree walk from the root's child, cycle-guarded (DirectoryTree.cs:61-98)
+        # tree walk from sid 0 in the reference's recursion order — entry,
+        # left, right, child — INCLUDING the root's sibling pointers, with
+        # per-entry name validation and throw-on-cycle
+        # (DirectoryTree.cs:61-98, AbstractDirectoryEntry.cs:33-36): the
+        # fixture corpus encodes these failures as expected output.
         if entries:
-            if len(entries[0].name) >= 32:
-                # the root entry is read (and its name validated) first
-                # (DirectoryTree.cs:63, AbstractDirectoryEntry.cs:33-36)
-                raise CfbError("The value for '_ab' is invalid.")
             visited: set[int] = set()
-            stack = [(entries[0].child, "")]
+            # explicit stack in preorder (push child, right, left so the left
+            # subtree completes first), matching the recursion's visit order
+            stack = [(0, "")]
             while stack:
                 sid, prefix = stack.pop()
-                if sid == NOSTREAM or sid >= len(entries) or sid in visited:
+                if sid == NOSTREAM or sid >= len(entries):
                     continue
+                if sid in visited:
+                    raise CfbError("DirectoryEntries contains a cycle.")
                 visited.add(sid)
                 e = entries[sid]
                 if len(e.name) >= 32:
-                    # AbstractDirectoryEntry.cs:33-36 rejects over-long names
                     raise CfbError("The value for '_ab' is invalid.")
                 e.path = prefix + e.name
-                stack.append((e.left, prefix))
-                stack.append((e.right, prefix))
                 if e.child != NOSTREAM:
-                    stack.append((e.child, e.path + "/"))
+                    stack.append((e.child, "" if sid == 0 else e.path + "/"))
+                stack.append((e.right, prefix))
+                stack.append((e.left, prefix))
         return entries
 
     # -- mini stream --------------------------------------------------------

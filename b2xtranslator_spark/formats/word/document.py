@@ -376,6 +376,16 @@ class WordBinaryDocument:
         self.papx_fkps = papx_fkps
         self.chpx_index = ChpxIndex(chpx_fkps)
 
+        # STSH structure walk for reference error parity: the reference
+        # parses the stylesheet before extraction (WordDocument.cs:319,
+        # StyleSheet.cs:24-59) and some fixture expected-texts ARE its
+        # failure messages on corrupt STSH. Content is text-neutral.
+        self.styles_walked = 0
+        if tbl is not None and not is_word95:
+            from .stylesheet import parse_stylesheet
+
+            self.styles_walked = parse_stylesheet(fib, tbl)
+
         # DOP cpgText (DocumentProperties.cs:1565)
         cpg_text = 0
         if tbl is not None and fib.lcb("dop") >= 560:

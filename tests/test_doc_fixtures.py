@@ -28,9 +28,12 @@ SAMPLES = "/root/reference/samples"
 KNOWN_DEVIATIONS = {
     "61586.doc",  # reference known-fail (failing-samples.txt)
     "Bug51944.doc",  # reference known-fail
+    # expects the reference's EndOfStream error from a structure parse not
+    # yet pinpointed (STSH/ListTable/LFO/CommandTable/OfficeArt all verified
+    # to complete on this file); we extract the full text instead
     "clusterfuzz-testcase-minimized-POIHWPFFuzzer-4892412469968896.doc",
+    # table-cell tab rendering differs in one nested-table region
     "clusterfuzz-testcase-minimized-POIHWPFFuzzer-5195207308541952.doc",
-    "clusterfuzz-testcase-minimized-POIHWPFFuzzer-5418937293340672.doc",
 }
 
 
@@ -90,4 +93,4 @@ def test_corpus_pass_rate_floor():
         except Exception as exc:
             msg = normalize_text(str(exc)) or ""
             ok += bool(expected) and expected.lower() in msg.lower()
-    assert ok >= 200, f"fixture pass count regressed: {ok}/{len(CASES)}"
+    assert ok >= 201, f"fixture pass count regressed: {ok}/{len(CASES)}"
