@@ -1,5 +1,9 @@
 """Synthetic binary golden fixtures for the XLS/PPT extraction paths.
 
+Lives in sources/ (not tests/) because the transcript corpus generator also
+feeds these payloads into the extraction pipeline, widening the flagship
+query beyond the .doc-only reference corpus.
+
 The reference sample corpus is .doc-only, so these paths would otherwise ride
 on unit tests alone (VERDICT r01 "what's missing" #2/#3). This module crafts
 real CFB containers byte-by-byte — a minimal [MS-CFB] writer (normal sectors

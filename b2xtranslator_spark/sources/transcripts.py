@@ -45,29 +45,46 @@ def _read_expected(path: str) -> str:
 
 def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
     """All (sample_idx, name, payload_b64, expected_text, expect_error) rows,
-    ordered deterministically by file name."""
+    ordered deterministically by file name: the reference's .doc corpus plus
+    the synthetic .xls/.ppt golden fixtures (sources/binfixtures.py), so the
+    extraction pipeline exercises every format the extractor supports."""
     from ..formats.word.extract import normalize_text
+    from .binfixtures import (
+        build_ppt_fixture,
+        build_ppt_incremental_fixture,
+        build_xls_fixture,
+    )
 
     rows = []
-    for doc in sorted(glob.glob(f"{samples_dir}/*.doc")):
-        expected_path = doc[:-4] + ".expected.txt"
-        if not os.path.exists(expected_path):
-            continue
-        idx = len(rows)
-        payload = open(doc, "rb").read()
-        expected = normalize_text(_read_expected(expected_path)) or ""
-        expect_error = "encrypted" in expected.lower() or "password" in os.path.basename(
-            doc
-        )
+
+    def _add(name: str, payload: bytes, expected: str, expect_error: bool) -> None:
         rows.append(
             {
-                "sample_idx": idx,
-                "sample_name": os.path.basename(doc),
+                "sample_idx": len(rows),
+                "sample_name": name,
                 "payload_b64": "b64cfb:" + base64.b64encode(payload).decode("ascii"),
                 "expected_text": expected,
                 "expect_error": expect_error,
             }
         )
+
+    for doc in sorted(glob.glob(f"{samples_dir}/*.doc")):
+        expected_path = doc[:-4] + ".expected.txt"
+        if not os.path.exists(expected_path):
+            continue
+        payload = open(doc, "rb").read()
+        expected = normalize_text(_read_expected(expected_path)) or ""
+        expect_error = "encrypted" in expected.lower() or "password" in os.path.basename(
+            doc
+        )
+        _add(os.path.basename(doc), payload, expected, expect_error)
+
+    for name, (payload, expected) in (
+        ("synthetic.xls", build_xls_fixture()),
+        ("synthetic.ppt", build_ppt_fixture()),
+        ("synthetic-incremental.ppt", build_ppt_incremental_fixture()),
+    ):
+        _add(name, payload, normalize_text(expected) or "", False)
     return pd.DataFrame(rows)
 
 

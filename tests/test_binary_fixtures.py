@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from binfixtures import (
+from b2xtranslator_spark.sources.binfixtures import (
     build_ppt_fixture,
     build_ppt_incremental_fixture,
     build_xls_fixture,
