@@ -104,3 +104,46 @@ def test_bucketed_tables_join_without_shuffle(spark, docs, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS docs_a")
         spark.sql("DROP TABLE IF EXISTS docs_b")
+
+
+def test_embedding_lsh_has_no_cross_join(spark):
+    """The banded-LSH near-dup candidates must be an equi-join on
+    (band, bucket) — never a cartesian/nested-loop product, which is the
+    plan-shape difference that makes it survive corpus scale."""
+    from b2xtranslator_spark.operators.similarity import (
+        embedding_near_duplicates_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_duplicates_lsh(emb, max_vecs=100))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_simhash_votes_aggregate_partially(docs):
+    """SimHash's per-bit votes must partial-aggregate map-side (one shuffle
+    of 60 vote columns per doc, not one row per token)."""
+    from b2xtranslator_spark.operators.dedup import simhash
+
+    plan = _plan(simhash(docs.where(F.col("doc_id") < 50)))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_checkpoint_group_read_is_partition_pruned(spark, tmp_path_factory):
+    """Group selection reads only its staged partition directory."""
+    import pandas as pd
+
+    from b2xtranslator_spark.pipeline import PAYLOAD_PREFIX
+
+    base = str(tmp_path_factory.mktemp("prune_plan"))
+    rows = [(f"c{i}", 0, "u", "hello", "", pd.Timestamp("2026-01-01")) for i in range(50)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    spark.createDataFrame(pdf).withColumn(
+        "grp", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    ).write.mode("overwrite").partitionBy("grp").parquet(f"{base}/staged")
+    df = spark.read.parquet(f"{base}/staged").where(F.col("grp") == 2)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "grp" in pf
