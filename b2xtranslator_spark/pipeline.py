@@ -74,9 +74,25 @@ EXTRACTED_SCHEMA = StructType(
 )
 
 
+# Content-addressed per-worker decode cache: real transcript corpora repeat
+# identical attachments (the same document forwarded across turns and
+# conversations), and the decode is deterministic, so each Python worker
+# memoizes results keyed by the payload digest. Bounded LRU — the cached
+# value is the small result tuple (text + spans + metrics), never the
+# payload bytes. Decoding is a pure function of the payload, so a hit is
+# byte-identical to a fresh decode.
+_DECODE_CACHE: "OrderedDict[bytes, tuple]" = None  # type: ignore[assignment]
+# entries; 0 disables (B2X_DECODE_CACHE env, read at worker import so bench
+# A/B runs can measure the cache-cold decode rate honestly)
+_DECODE_CACHE_MAX = int(os.environ.get("B2X_DECODE_CACHE", "256"))
+
+
 def _extract_one(text: str | None, tool: str | None) -> tuple:
     """Extract a single turn. Payload may arrive in `text` OR `tool`
     (BASELINE.json input_hint); non-payload turns pass through."""
+    global _DECODE_CACHE
+    import hashlib
+
     from .extractors import extract_payload_text  # module-cached after first call
 
     src = None
@@ -93,6 +109,19 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             None,
             (0, 0, len(passthrough), 0, 0),
         )
+
+    key = None
+    if _DECODE_CACHE_MAX > 0:
+        if _DECODE_CACHE is None:
+            from collections import OrderedDict
+
+            _DECODE_CACHE = OrderedDict()
+        key = hashlib.md5(src.encode("ascii", "replace")).digest()
+        hit = _DECODE_CACHE.get(key)
+        if hit is not None:
+            _DECODE_CACHE.move_to_end(key)
+            return hit
+
     try:
         payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])
     except Exception as exc:  # malformed base64 is a row error, not a task error
@@ -100,7 +129,7 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
     res = extract_payload_text(payload)
     spans = res.metrics.get("spans") or [("main", 0, len(res.text))]
     failures = 0 if res.status in ("ok", "skipped") else 1
-    return (
+    out = (
         res.text,
         spans,
         res.status,
@@ -113,6 +142,11 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             int(res.metrics.get("wall_ms", 0)),
         ),
     )
+    if key is not None:
+        _DECODE_CACHE[key] = out
+        if len(_DECODE_CACHE) > _DECODE_CACHE_MAX:
+            _DECODE_CACHE.popitem(last=False)
+    return out
 
 
 def extract_turns(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
