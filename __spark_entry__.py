@@ -296,8 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verify_join": _q_extract_verify,
         "extract_metrics_agg": _q_extract_metrics,
         "media_features": _q_media_features,
-        "dedup_minhash_lsh": _q_minhash_lsh,
         # oracle-checked
+        "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_topk_lsh": _q_ann_lsh,
@@ -333,6 +333,55 @@ def _sql_words(expr: str = "text") -> str:
 _LSH_M1, _LSH_M2, _LSH_MX, _LSH_C, _LSH_MOD, _LSH_HALF = (
     48271, 69621, 2654435761, 7919, 2001, 1000
 )
+
+
+def _sql_h60(expr: str) -> str:
+    """60-bit hash from the first 15 hex digits of md5 — the SQL mirror of
+    operators.dedup._seeded_hash60 / _token_hash60."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
+    """Full SQL mirror of operators.dedup.minhash_lsh_candidates."""
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    rows = num_hashes // bands
+    mh_cols = ",\n                   ".join(
+        "min(" + _sql_h60("'%d|' || shingle" % s) + ") AS mh%d" % s
+        for s in range(num_hashes)
+    )
+    band_case = "CASE band " + " ".join(
+        f"WHEN {b} THEN concat_ws(',', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    ) + " END"
+    bucket = _sql_h60(f"(1000+band) || '|' || ({band_case})")
+    return f"""
+            WITH words AS (
+                SELECT doc_id, string_split({norm}, ' ') AS w
+                FROM documents WHERE doc_id < {doc_cap}
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(w)-4, 0)),
+                           i -> array_to_string(w[i+1:i+4], ' '))) AS shingle
+                FROM words
+            ),
+            sig AS (
+                SELECT doc_id,
+                   {mh_cols}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, band, {bucket} AS bucket
+                FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+        """
 
 
 def _sql_simhash_cte(doc_cap: int) -> str:
@@ -464,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
         """,
+        "dedup_minhash_lsh": _sql_minhash_lsh(400),
         "dedup_embedding_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

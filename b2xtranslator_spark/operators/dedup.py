@@ -39,10 +39,23 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _seeded_hash60(col, seed: int):
+    """Seeded 60-bit hash from md5(seed || value) — portable SQL semantics
+    (DuckDB: CAST(('0x'||substr(md5(seed||value),1,15)) AS BIGINT)), chosen
+    over xxhash64 so the whole MinHash family is oracle-checkable."""
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{seed}|"), col), "UTF-8")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 16, shingle_len: int = 4
 ) -> DataFrame:
-    """MinHash signatures via word shingles and seeded xxhash64.
+    """MinHash signatures via word shingles and seeded md5-60bit hashes.
 
     shingles: sliding windows of `shingle_len` words; one explode, then a
     single groupBy computes ALL minima map-side (partial agg) — no per-hash
@@ -59,7 +72,7 @@ def minhash_signatures(
         "doc_id", F.explode(shingles).alias("shingle")
     )
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"mh{seed}")
+        F.min(_seeded_hash60(F.col("shingle"), seed)).alias(f"mh{seed}")
         for seed in range(num_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -79,7 +92,10 @@ def minhash_lsh_candidates(
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+            F.struct(
+                F.lit(b).alias("band"),
+                _seeded_hash60(F.concat_ws(",", *cols), 1000 + b).alias("bucket"),
+            )
         )
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
