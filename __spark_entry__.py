@@ -345,8 +345,12 @@ def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
     """Full SQL mirror of operators.dedup.minhash_lsh_candidates."""
     norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
     rows = num_hashes // bands
+    # Kirsch-Mitzenmacher double hashing from one md5 per shingle
+    # (mirrors operators.dedup.minhash_signatures)
     mh_cols = ",\n                   ".join(
-        "min(" + _sql_h60("'%d|' || shingle" % s) + ") AS mh%d" % s
+        "min(CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+        " + %d * CAST(('0x' || substr(md5(shingle), 17, 10)) AS BIGINT))"
+        " AS mh%d" % (s, s)
         for s in range(num_hashes)
     )
     band_case = "CASE band " + " ".join(

@@ -148,8 +148,11 @@ def main() -> None:
     for name in (
         "dedup_minhash_lsh",
         "dedup_exact",
+        "dedup_embedding_lsh",
+        "dedup_simhash_pairs",
         "text_quality_score",
         "similarity_topk_bruteforce",
+        "similarity_topk_lsh",
         "lineitem_pricing_summary",
         "revenue_by_region",
         "latest_event_per_user",
