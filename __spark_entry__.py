@@ -38,6 +38,7 @@ from b2xtranslator_spark.operators.similarity import (  # noqa: E402
     cosine_topk_lsh,
     embedding_near_duplicates_fast,
     embedding_near_duplicates_lsh,
+    ivf_topk,
 )
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
@@ -157,6 +158,14 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(_table(spark, sf_dir, "embeddings"), 0, 10, n_planes=4)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (learned k-means coarse quantizer): not SQL-expressible, so
+    oracle-less by design — pytest covers recall + exact-score agreement."""
+    return ivf_topk(
+        _table(spark, sf_dir, "embeddings"), 0, k=10, n_clusters=16, n_probe=2
+    )
 
 
 def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verify_join": _q_extract_verify,
         "extract_metrics_agg": _q_extract_metrics,
         "media_features": _q_media_features,
+        "similarity_topk_ivf": _q_ann_ivf,
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,

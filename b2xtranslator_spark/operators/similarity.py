@@ -224,3 +224,63 @@ def cosine_topk_lsh(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a seeded k-means coarse quantizer
+    assigns every vector to a cluster; the query scores only vectors in its
+    ``n_probe`` nearest clusters.
+
+    The scale shape: centroids are a tiny broadcast model; assignment is one
+    map; the probe is a semi-join on cluster id — each vector shuffles once
+    by cluster, never pairwise. Recall is tuned by n_probe (and n_clusters
+    controls the partition granularity); exact cosine is used within probed
+    clusters so every returned score is exact. Not SQL-expressible (learned
+    centroids), so correctness evidence is the pytest recall/score-agreement
+    check against cosine_topk_bruteforce rather than a DuckDB oracle."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster")
+    )
+
+    # driver-side: rank centroids by distance to the query vector (centroids
+    # are O(n_clusters * dim) — a model artifact, not data)
+    q_row = embeddings.where(F.col("vec_id") == query_vec_id).head()
+    if q_row is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
+    q = np.array(q_row["embedding"], dtype=np.float64)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probe = [int(c) for c in order[:n_probe]]
+
+    query = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        assigned.where(F.col("cluster").isin(probe))
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(query))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("embedding"), F.col("q"))
+                    / (_norm(F.col("embedding")) * _norm(F.col("q"))), 6),
+        )
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -136,3 +136,19 @@ def test_embedding_lsh_equals_exact(embeddings):
             for r in fn(embeddings, threshold=0.35, max_vecs=200).toPandas().itertuples()
         }
         assert got == want, f"{fn.__name__}: {len(got ^ want)} differing pairs"
+
+
+def test_ivf_topk_scores_exactly_and_recalls(embeddings):
+    """IVF ANN: scored candidates must carry EXACT cosines (agree with brute
+    force on intersection) and the probed clusters must recover a usable
+    share of the true top-k."""
+    from b2xtranslator_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    brute = cosine_topk_bruteforce(embeddings, 0, 10).toPandas()
+    ann = ivf_topk(embeddings, 0, k=50, n_clusters=8, n_probe=4).toPandas()
+    merged = brute.merge(ann, on="vec_id", suffixes=("_b", "_a"))
+    assert len(merged) >= 3, "too few of the true top-10 recovered"
+    assert (merged.cosine_b - merged.cosine_a).abs().max() < 1e-9
+    # determinism: same seed, same result
+    again = ivf_topk(embeddings, 0, k=50, n_clusters=8, n_probe=4).toPandas()
+    assert ann.vec_id.tolist() == again.vec_id.tolist()
