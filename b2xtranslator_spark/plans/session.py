@@ -45,6 +45,15 @@ def build_session(
         # tail-locks on single row-group tasks — 8MB groups keep splits real
         .config("spark.hadoop.parquet.block.size", "8388608")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # one box cannot run 32 JVM task threads + 32 Python workers + GC on
+        # 32 hardware threads: task.cpus=2 halves concurrent tasks so each
+        # (JVM thread, Python worker) pair gets a real core. Measured at
+        # local[32], cache-cold sf0.1 extraction, median of 3:
+        # 10.1-19.0 s (swinging 5.9-38) -> 5.6 s (stable 4.7-8.0); the
+        # JVM-only agg queries also got slightly faster (0.42 -> 0.30 s).
+        # A real multi-executor cluster sizes executors instead and can
+        # override via spark-submit --conf.
+        .config("spark.task.cpus", os.environ.get("SPARK_GRAFT_TASK_CPUS", "2"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv6Addresses=false")
