@@ -157,7 +157,9 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk_lsh(_table(spark, sf_dir, "embeddings"), 0, 10, n_planes=4)
+    return cosine_topk_lsh(
+        _table(spark, sf_dir, "embeddings"), 0, 10, n_planes=4, probe_hamming=1
+    )
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,7 +563,8 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.embedding::DOUBLE[],
                                                 qe.embedding::DOUBLE[]), 6) AS cosine
             FROM buck b
-            JOIN buck q ON b.bucket = q.bucket AND q.vec_id = 0
+            JOIN buck q ON bit_count(xor(b.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+                       AND q.vec_id = 0
             JOIN embeddings e ON e.vec_id = b.vec_id
             JOIN embeddings qe ON qe.vec_id = 0
             WHERE e.vec_id != 0

@@ -198,21 +198,33 @@ def embedding_near_duplicates_fast(
 
 
 def cosine_topk_lsh(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 4
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's LSH bucket.
+    """ANN top-k: score only vectors in (or near) the query's LSH bucket.
 
     The scale path: the bucket equi-join shuffles each vector once by bucket
     id instead of cross-joining; recall is tuned by n_planes (fewer planes =
-    bigger buckets = higher recall). Deterministic planes make the bucket
-    assignment — and therefore the result — oracle-expressible in SQL."""
+    bigger buckets = higher recall) AND by multi-probe: ``probe_hamming`` > 0
+    also scans buckets whose id differs from the query's in at most that many
+    sign bits — the standard multi-probe recall lever that costs no extra
+    shuffle (the probe set rides the broadcast join condition). Deterministic
+    planes make the bucket assignment — and therefore the result —
+    oracle-expressible in SQL (popcount(xor) <= probe_hamming)."""
     bucketed = lsh_bucket(embeddings, n_planes)
     query = bucketed.where(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q")
     )
     return (
         bucketed.join(
-            F.broadcast(query), F.col("bucket") == F.col("qbucket")
+            F.broadcast(query),
+            F.bit_count(
+                F.col("bucket").cast("long").bitwiseXOR(F.col("qbucket").cast("long"))
+            )
+            <= probe_hamming,
         )
         .where(F.col("vec_id") != query_vec_id)
         .withColumn(
