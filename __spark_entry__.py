@@ -48,6 +48,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     quality_score,
     token_count,
     token_histogram,
+    winnowing_fingerprints,
 )
 from b2xtranslator_spark.pipeline import run_extraction  # noqa: E402
 from b2xtranslator_spark.sources.transcripts import (  # noqa: E402
@@ -221,6 +222,10 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_table(spark, sf_dir, "documents"))
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_fingerprints(_table(spark, sf_dir, "documents"), max_docs=100)
+
+
 def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(_table(spark, sf_dir, "documents"))
 
@@ -323,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_language_id,
         "text_quality_score": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprint": _q_winnow,
         "sample_documents": _q_sample,
         "token_histogram": _q_token_histogram,
         "docs_by_source": _q_docs_by_source,
@@ -621,6 +627,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fp FROM documents
+        """,
+        "text_winnow_fingerprint": f"""
+            WITH normed AS (
+                SELECT doc_id, {norm} AS t FROM documents WHERE doc_id < 100
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, greatest(length(t)-7, 1))) AS pos,
+                       unnest(list_transform(
+                           generate_series(1, greatest(length(t)-7, 1)),
+                           i -> substring(t, i, 8))) AS gram
+                FROM normed
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+                FROM grams
+            )
+            SELECT DISTINCT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM hashed
         """,
         "sample_documents": f"""
             SELECT doc_id, source, n_chars

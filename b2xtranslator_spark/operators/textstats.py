@@ -125,3 +125,44 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fp")
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 8, window: int = 4, max_docs: int | None = None
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken, used by MOSS): hash every character k-gram of
+    the normalized text, slide a window of ``window`` consecutive k-gram
+    hashes, keep each window's minimum, dedup. Near-identical documents share
+    most fingerprints even under local edits, so a groupBy on (fp) finds
+    overlapping-passage candidates the way shingle-MinHash finds whole-doc
+    near-dups.
+
+    Plan shape: one explode (n_chars rows/doc) -> window min over a
+    per-doc-ordered frame -> distinct. The k-gram hash is the md5-60bit
+    construction shared with the dedup family, so the whole operator is
+    oracle-checkable in portable SQL."""
+    from pyspark.sql.window import Window
+
+    docs = documents
+    if max_docs is not None:
+        docs = docs.where(F.col("doc_id") < max_docs)
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: norm.substr(i, F.lit(k)))
+        ).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.encode(F.col("gram"), "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("doc_id", "pos", h.alias("h"))
+        .select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )

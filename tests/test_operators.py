@@ -152,3 +152,29 @@ def test_ivf_topk_scores_exactly_and_recalls(embeddings):
     # determinism: same seed, same result
     again = ivf_topk(embeddings, 0, k=50, n_clusters=8, n_probe=4).toPandas()
     assert ann.vec_id.tolist() == again.vec_id.tolist()
+
+
+def test_winnowing_shares_fingerprints_on_copied_passage(spark):
+    """Winnowing is a passage-overlap detector: a document that copies a
+    paragraph from another must share many fingerprints with it, while
+    unrelated documents share few."""
+    import pandas as pd
+
+    from b2xtranslator_spark.operators.textstats import winnowing_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [
+        (0, passage + "unique tail zero", "en", "syn", 100),
+        (1, "completely different text about spark plans and shuffles " * 5, "en", "syn", 100),
+        (2, "prefix words here " + passage, "en", "syn", 100),  # copies the passage
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    fps = winnowing_fingerprints(docs).toPandas()
+    by_doc = {d: set(g.fp) for d, g in fps.groupby("doc_id")}
+    overlap_copy = len(by_doc[0] & by_doc[2])
+    overlap_unrelated = len(by_doc[0] & by_doc[1])
+    assert overlap_copy > 10 * max(1, overlap_unrelated), (
+        overlap_copy, overlap_unrelated
+    )
