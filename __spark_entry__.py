@@ -30,7 +30,9 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     simhash_candidate_pairs,
 )
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
+    resize_thumbnails,
     run_media_features,
+    sample_frames,
     synthesize_media,
 )
 from b2xtranslator_spark.operators.similarity import (  # noqa: E402
@@ -140,6 +142,20 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, n_rows=96)
     return run_media_features(media).select("media_id", "kind", "n_bytes", "status")
+
+
+def _q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, n_rows=96)
+    return resize_thumbnails(media).select(
+        "media_id", "kind", "thumb_w", "thumb_h", "status"
+    )
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, n_rows=96)
+    return sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "ts_ms", "status"
+    )
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verify_join": _q_extract_verify,
         "extract_metrics_agg": _q_extract_metrics,
         "media_features": _q_media_features,
+        "media_thumbnails": _q_media_thumbnails,
+        "media_frame_samples": _q_media_frames,
         "similarity_topk_ivf": _q_ann_ivf,
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,

@@ -137,3 +137,111 @@ def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def resize_thumbnails(media: DataFrame, side: int = 4) -> DataFrame:
+    """Decode (stub) -> mean-pool resize -> emit thumbnail bytes.
+
+    The real-decoder swap point is the same `_decode_image_stub`; the
+    Spark-side contract (binary in, small binary out, row-level error
+    tolerance, Arrow batching) is the part under test."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "thumb", "thumb_w",
+                                    "thumb_h", "status")}
+            for media_id, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    img = _decode_image_stub(payload)  # 8x8x3
+                    f = 8 // side
+                    pooled = img.reshape(side, f, side, f, 3).mean(axis=(1, 3))
+                    out["thumb"].append(pooled.astype(np.uint8).tobytes())
+                    out["thumb_w"].append(side)
+                    out["thumb_h"].append(side)
+                    out["status"].append("ok")
+                except Exception as exc:  # row-level tolerance
+                    out["thumb"].append(b"")
+                    out["thumb_w"].append(0)
+                    out["thumb_h"].append(0)
+                    out["status"].append(f"decode_error: {exc}")
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=THUMB_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: pick ``n_frames`` evenly spaced
+    timestamps across duration_ms and emit one row per (media_id, frame).
+
+    A real implementation seeks/decodes each frame with pyav; the stub
+    derives a deterministic per-frame array from (payload, frame_idx) so the
+    EXPLODED row shape — the thing that matters for partitioning and
+    downstream embedding joins at scale — is real. Non-video rows pass
+    through as a single frame_idx=0 row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "feature",
+                                    "status")}
+            for media_id, kind, payload, duration in zip(
+                pdf["media_id"].values, pdf["kind"].values,
+                pdf["payload"].values, pdf["duration_ms"].values,
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                frames = n_frames if kind == "video" else 1
+                # NULL duration_ms arrives as NaN through Arrow/pandas, not
+                # None — int(nan) would fail the whole task, breaking the
+                # row-level tolerance contract
+                dur = 0 if pd.isna(duration) else int(duration)
+                for fi in range(frames):
+                    ts = (dur * fi) // max(1, frames)
+                    try:
+                        img = _decode_image_stub(
+                            payload + struct.pack("<i", fi)
+                        )
+                        feat = np.concatenate(
+                            [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+                        ).astype(np.float32)
+                        out["feature"].append([float(x) for x in feat])
+                        out["status"].append("ok")
+                    except Exception as exc:  # row-level tolerance
+                        out["feature"].append([])
+                        out["status"].append(f"decode_error: {exc}")
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(fi)
+                    out["ts_ms"].append(int(ts))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload", "duration_ms").mapInPandas(
+        kernel, schema=FRAME_SCHEMA
+    )

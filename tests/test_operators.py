@@ -178,3 +178,33 @@ def test_winnowing_shares_fingerprints_on_copied_passage(spark):
     assert overlap_copy > 10 * max(1, overlap_unrelated), (
         overlap_copy, overlap_unrelated
     )
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """The named multimodal surface beyond feature extraction: thumbnail
+    resize and video frame sampling — stubbed codec, real Spark plumbing
+    (exploded row shape, deterministic outputs, row-level tolerance)."""
+    from b2xtranslator_spark.operators.multimodal import (
+        resize_thumbnails,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n_rows=30)
+    thumbs = resize_thumbnails(media).toPandas()
+    assert len(thumbs) == 30
+    assert (thumbs.status == "ok").all()
+    assert thumbs.thumb.map(len).eq(4 * 4 * 3).all()
+
+    frames = sample_frames(media, n_frames=4).toPandas()
+    n_video = (media.toPandas().kind == "video").sum()
+    assert len(frames) == n_video * 4 + (30 - n_video) * 1
+    vid = frames[frames.media_id == "m-00002"].sort_values("frame_idx")
+    assert vid.frame_idx.tolist() == [0, 1, 2, 3]
+    assert vid.ts_ms.is_monotonic_increasing
+    # frames differ (per-frame decode), deterministically
+    assert len({tuple(f) for f in vid.feature}) == 4
+    again = sample_frames(media, n_frames=4).toPandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert (a.feature.map(tuple) == b.feature.map(tuple)).all()
