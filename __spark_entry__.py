@@ -99,14 +99,26 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_extract_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one genuine relational join of the system (SURVEY.md §2.3 J7):
     extraction output vs expected fixture table."""
-    from b2xtranslator_spark.formats.word.extract import normalize_text
-
     transcripts, expected = _transcripts(spark, sf_dir)
     extracted = run_extraction(transcripts)
 
     @F.pandas_udf("string")
     def norm(s):
-        return s.map(lambda v: (normalize_text(v) or "").lower())
+        # vectorized NormalizeText (same contract as formats.word.extract.
+        # normalize_text, which stays the per-string spec for the fixture
+        # suite): C#-Replace passes, then whitespace-collapse around
+        # newlines = strip-each-line + drop-blank-lines in one greedy regex
+        t = (
+            s.fillna("")
+            .str.replace("\r\n", "\n", regex=False)
+            .str.replace("\r", "\n", regex=False)
+            .str.replace("\t", "", regex=False)
+            .str.replace("  ", " ", regex=False)
+            .str.replace("\n\n", "\n", regex=False)
+            .str.replace("\n\n", "\n", regex=False)
+        )
+        t = t.str.replace(r"\s*\n\s*", "\n", regex=True)
+        return t.str.strip().str.lower()
 
     joined = (
         extracted.join(expected, ["conv_id", "turn_idx"], "inner")
@@ -416,6 +428,8 @@ def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
             bands AS (
                 SELECT doc_id, band, {bucket} AS bucket
                 FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+                -- bucket skew guard (max_bucket_size), mirrored in Spark
+                QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100000
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a
@@ -573,6 +587,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, simhash, band,
                        (simhash >> (band * 15)) & 32767 AS key
                 FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+                -- bucket skew guard (max_bucket_size), mirrored in Spark
+                QUALIFY count(*) OVER (PARTITION BY band, key) <= 100000
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    bit_count(xor(a.simhash, b.simhash))::INT AS hamming

@@ -279,7 +279,11 @@ def extract_xls_text_parts(storage: CompoundFile) -> tuple[str, int]:
                     rw, col, _ixfe = struct.unpack_from("<HHH", stream, lb_ply_pos + off)
                     base = lb_ply_pos + off + 6
                     (cch,) = struct.unpack_from("<H", stream, base)
-                    cells[(rw, col)] = stream[base + 2 : base + 2 + cch].decode(
+                    # clamp to the record's declared payload: a crafted cch
+                    # larger than length-8 would otherwise read the next
+                    # record's bytes as cell text (ADVICE r02)
+                    take = min(cch, max(0, length - 8))
+                    cells[(rw, col)] = stream[base + 2 : base + 2 + take].decode(
                         "latin-1"
                     )
                 elif rid == R_BOOLERR and length >= 8:

@@ -90,9 +90,18 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_len: int = 4,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket; docs sharing
-    any band bucket become a candidate pair (a < b)."""
+    any band bucket become a candidate pair (a < b).
+
+    ``max_bucket_size`` is the skew guard: a band bucket of n docs emits
+    n^2/2 pairs, so one degenerate signature (empty/boilerplate text shared
+    by thousands of docs) would otherwise go quadratic. Oversized buckets
+    are dropped before the self-join (operators.skew.cap_bucket_size) —
+    report them with operators.skew.bucket_skew_stats."""
+    from .skew import cap_bucket_size
+
     sig = minhash_signatures(documents, num_hashes, shingle_len)
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -107,6 +116,7 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = cap_bucket_size(buckets, ["band", "bucket"], max_bucket_size)
     left = buckets.alias("a")
     right = buckets.alias("b")
     return (
@@ -167,13 +177,21 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     bands: int = 4,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """SimHash pair-finding: band the hash into ``bands`` disjoint bit slices
     and equi-join on (band, slice). By pigeonhole, any pair within
     ``bands - 1`` Hamming distance shares at least one identical band, so
     with 4 bands the candidate join has 100% recall for hamming <= 3 — then
     an exact popcount(xor) filter verifies. The shuffle is O(docs x bands),
-    never all-pairs (the banding mirror of minhash_lsh_candidates)."""
+    never all-pairs (the banding mirror of minhash_lsh_candidates).
+
+    ``max_bucket_size`` drops degenerate hot slices before the self-join
+    (the n^2 skew guard; see operators.skew) — the pigeonhole recall
+    guarantee then holds only for pairs whose shared band survived the cap,
+    so report dropped buckets via bucket_skew_stats."""
+    from .skew import cap_bucket_size
+
     sig = simhash(documents, bits)
     width = bits // bands
     mask = (1 << width) - 1
@@ -187,6 +205,7 @@ def simhash_candidate_pairs(
     keyed = sig.select(
         "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    keyed = cap_bucket_size(keyed, ["band", "key"], max_bucket_size)
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
         "band", "key",

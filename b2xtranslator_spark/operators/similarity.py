@@ -106,7 +106,10 @@ def _plane_matrix(n_planes: int, dim: int):
 
 
 def lsh_band_buckets(
-    embeddings: DataFrame, bands: int, planes_per_band: int
+    embeddings: DataFrame,
+    bands: int,
+    planes_per_band: int,
+    carry_embedding: bool = True,
 ) -> DataFrame:
     """One row per (vector, band): the band's bucket key from its own
     disjoint slice of the plane family. The downstream equi-join on
@@ -119,7 +122,18 @@ def lsh_band_buckets(
     map (no shuffle). Integer weights times float64 products are exact, so
     the only engine-dependence is FP summation order on projections that
     land exactly at zero — the recall margin (and the exact-cosine verify
-    stage downstream) absorbs it."""
+    stage downstream) absorbs it.
+
+    ``carry_embedding=True`` duplicates the full vector through the band
+    shuffle (bands x byte amplification on the widest column — with the
+    default 20 bands that is 20x the embedding bytes). ``False`` emits only
+    (vec_id, band, bucket) — the id-only rows shuffle at ~1/30th the bytes
+    for a 64-dim float vector and the verify stage re-joins embeddings by
+    vec_id (two extra hash joins). Benchmarked both at sf0.1
+    (BENCH/BASELINE.md round 3): carrying wins while embedding bytes/row is
+    below roughly the dedup-join row overhead; at corpus scale with wide
+    vectors (>=256 dims) the id-only plan shuffles an order of magnitude
+    fewer bytes and is the default recommendation."""
     import numpy as np
     import pandas as pd
 
@@ -139,21 +153,26 @@ def lsh_band_buckets(
             for b in range(bands):
                 for r in range(planes_per_band):
                     keys[:, b] = keys[:, b] * 2 + bits[:, b * planes_per_band + r]
-            out = pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
-                    "embedding": [
-                        e for e in pdf["embedding"] for _ in range(bands)
-                    ],
-                    "band": np.tile(np.arange(bands), len(pdf)),
-                    "bucket": keys.reshape(-1),
-                }
-            )
-            yield out
+            cols = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands), len(pdf)),
+                "bucket": keys.reshape(-1),
+            }
+            if carry_embedding:
+                cols["embedding"] = [
+                    e for e in pdf["embedding"] for _ in range(bands)
+                ]
+            yield pd.DataFrame(cols)
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        kernel, "vec_id long, embedding array<float>, band int, bucket long"
+    schema = (
+        "vec_id long, band int, bucket long, embedding array<float>"
+        if carry_embedding
+        else "vec_id long, band int, bucket long"
     )
+    return embeddings.select("vec_id", "embedding").mapInPandas(kernel, schema)
+
+
+from .skew import bucket_skew_stats, cap_bucket_size  # noqa: E402,F401 re-export
 
 
 def embedding_near_duplicates_lsh(
@@ -162,6 +181,8 @@ def embedding_near_duplicates_lsh(
     max_vecs: int | None = 400,
     bands: int = 20,
     planes_per_band: int = 2,
+    max_bucket_size: int = 100_000,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded sign-LSH candidates + exact-cosine
     verify. Same output contract as dedup.embedding_near_duplicates (the
@@ -169,24 +190,52 @@ def embedding_near_duplicates_lsh(
     O(vecs x bands) rows — so the plan survives corpus scale where the
     cross join cannot. Recall is tuned by (bands, planes_per_band); the
     defaults give 100% recall at threshold 0.35 on the test corpus with a
-    4-band margin (empirically 0 misses from 16 bands up)."""
+    4-band margin (empirically 0 misses from 16 bands up).
+
+    ``max_bucket_size`` caps candidate generation per (band, bucket): a hot
+    bucket of n rows emits n^2/2 pairs, so one degenerate signature (e.g.
+    thousands of near-zero vectors sharing a sign pattern) would otherwise
+    dominate the job. Capped buckets lose their candidates — surface them
+    with bucket_skew_stats(lsh_band_buckets(...), ["band","bucket"], cap).
+
+    ``carry_vectors=False`` shuffles id-only band rows (no bands-x vector
+    duplication) and re-joins embeddings for the verify stage — the
+    byte-economical plan for wide vectors (see lsh_band_buckets)."""
     vecs = embeddings
     if max_vecs is not None:
         vecs = vecs.where(F.col("vec_id") < max_vecs)
-    bb = lsh_band_buckets(vecs, bands, planes_per_band)
-    a = bb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "band", "bucket",
-    )
-    b = bb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "band", "bucket",
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    bb = lsh_band_buckets(vecs, bands, planes_per_band, carry_embedding=carry_vectors)
+    bb = cap_bucket_size(bb, ["band", "bucket"], max_bucket_size)
+    if carry_vectors:
+        a = bb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+            "band", "bucket",
+        )
+        b = bb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+            "band", "bucket",
+        )
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    else:
+        a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+        b = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+        ids = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        ea = vecs.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        )
+        eb = vecs.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        )
+        cand = ids.join(ea, "vec_a").join(eb, "vec_b")
     return (
         cand.withColumn(
             "cosine",
@@ -204,13 +253,21 @@ def embedding_near_duplicates_fast(
     max_vecs: int | None = 400,
     bands: int = 20,
     planes_per_band: int = 2,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """NumPy-matmul variant of embedding_near_duplicates_lsh: one BLAS call
     per (band, bucket) group via applyInPandas scores the whole bucket at
     once (~10-100x the per-element Catalyst aggregate). No driver collect,
     no broadcast of vector data — each bucket is scored where it lands after
-    the band shuffle. HALF_UP rounding to match Spark's F.round / the DuckDB
-    oracle (np.round is banker's rounding; ADVICE r01)."""
+    the band shuffle. Rounding is half-away-from-zero to match Spark's
+    F.round / the DuckDB oracle exactly on both signs (np.round is banker's
+    rounding, and floor(x*1e6+0.5) rounds negative halves toward +inf;
+    ADVICE r01/r02).
+
+    The dense n x n similarity matrix is O(bucket^2) memory, so the skew
+    guard is mandatory here: buckets over ``max_bucket_size`` are skipped
+    inside the kernel (no n x n allocation ever happens) — report them via
+    bucket_skew_stats."""
     import numpy as np
     import pandas as pd
 
@@ -219,12 +276,17 @@ def embedding_near_duplicates_fast(
         vecs = vecs.where(F.col("vec_id") < max_vecs)
     bb = lsh_band_buckets(vecs, bands, planes_per_band)
 
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_bucket_size:  # degenerate hot bucket: skip, never n^2
+            return empty
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
-        rounded = np.floor(sims * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+        # HALF_UP on magnitude, sign restored = round half away from zero
+        rounded = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
         ai, bi = np.nonzero((rounded >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame(
             {"vec_a": ids[ai], "vec_b": ids[bi], "cosine": rounded[ai, bi]}
@@ -285,6 +347,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 2,
     seed: int = 7,
+    fit_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: a seeded k-means coarse quantizer
     assigns every vector to a cluster; the query scores only vectors in its
@@ -292,11 +355,18 @@ def ivf_topk(
 
     The scale shape: centroids are a tiny broadcast model; assignment is one
     map; the probe is a semi-join on cluster id — each vector shuffles once
-    by cluster, never pairwise. Recall is tuned by n_probe (and n_clusters
-    controls the partition granularity); exact cosine is used within probed
-    clusters so every returned score is exact. Not SQL-expressible (learned
-    centroids), so correctness evidence is the pytest recall/score-agreement
-    check against cosine_topk_bruteforce rather than a DuckDB oracle."""
+    by cluster, never pairwise. The quantizer FIT is bounded: k-means trains
+    on a deterministic ``fit_rows``-row sample (global top-k by
+    md5(vec_id) — a uniform pseudo-random draw, TakeOrdered-cheap, stable
+    across partitioning), then the broadcast model assigns the FULL table.
+    Fitting on the whole corpus would iterate k-means over 100 TB per
+    Lloyd step; a 10^5-row sample fixes the centroids at negligible cost
+    with the usual coarse-quantizer accuracy (FAISS-style train/add split).
+    Recall is tuned by n_probe (and n_clusters controls the partition
+    granularity); exact cosine is used within probed clusters so every
+    returned score is exact. Not SQL-expressible (learned centroids), so
+    correctness evidence is the pytest recall/score-agreement check against
+    cosine_topk_bruteforce rather than a DuckDB oracle."""
     import numpy as np
 
     from pyspark.ml.clustering import KMeans
@@ -305,7 +375,11 @@ def ivf_topk(
     vecs = embeddings.select(
         "vec_id", "embedding", array_to_vector("embedding").alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(vecs)
+    fit_sample = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(fit_rows)
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_sample)
     assigned = model.transform(vecs).select(
         "vec_id", "embedding", F.col("prediction").alias("cluster")
     )

@@ -116,7 +116,11 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             from collections import OrderedDict
 
             _DECODE_CACHE = OrderedDict()
-        key = hashlib.md5(src.encode("ascii", "replace")).digest()
+        # Hash the exact payload bytes: an ascii-'replace' digest would map a
+        # literal '?' and any non-ASCII char at the same position to the same
+        # key, letting one row be served another row's cached result (ADVICE
+        # r02). utf-8 is injective on str, so collisions need an md5 break.
+        key = hashlib.md5(src.encode("utf-8")).digest()
         hit = _DECODE_CACHE.get(key)
         if hit is not None:
             _DECODE_CACHE.move_to_end(key)
@@ -269,6 +273,15 @@ def write_extracted(
 # -- checkpointed run (resume without recompute) --------------------------------
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem so it answers correctly
+    for hdfs:// and s3a:// URIs, not only the local filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def run_with_checkpoints(
     spark: SparkSession,
     transcripts_path: str,
@@ -310,8 +323,13 @@ def run_with_checkpoints(
         pass  # first run: no checkpoint table yet
 
     group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
-    staged_path = os.path.join(out_dir, "_staged")
-    if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+    # The staging directory is keyed by n_groups: resuming with a different
+    # group count must re-stage, not silently skip rows whose grp value
+    # exceeds the new n_groups (ADVICE r02). Existence is checked through the
+    # Hadoop FileSystem API so the guard also holds on HDFS/S3 paths where
+    # os.path.exists is always False and every run would re-scan the corpus.
+    staged_path = os.path.join(out_dir, f"_staged_g{n_groups}")
+    if not _fs_exists(spark, os.path.join(staged_path, "_SUCCESS")):
         (
             spark.read.parquet(transcripts_path)
             .withColumn("grp", group_col)

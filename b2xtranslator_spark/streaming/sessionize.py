@@ -64,10 +64,20 @@ def make_sessionizer(gap_seconds: int = GAP_SECONDS):
         (conv_id,) = key
 
         if state.hasTimedOut:
-            # idle flush: no new turns arrived within the gap — close + clear
+            # Idle flush: no new turns arrived within the gap — close the open
+            # session but KEEP the counter in state so a later resume continues
+            # session numbering (emitting session_no=0 twice for one conv_id
+            # would break the per-conversation key; ADVICE r02). The counter
+            # must survive even repeated timeouts: removing it on a later
+            # empty timeout re-introduces the same collision for a
+            # conversation that resumes after two idle gaps (caught by the
+            # round-3 drive). The timer is NOT re-armed here — an idle
+            # conversation costs one flushed-counter row in the state store
+            # (O(distinct conv_ids), a few dozen bytes each) and no further
+            # timeout work until new turns re-arm it in the data path.
             session_no, last_ts, n_turns, first_ts = state.get
-            state.remove()
             if n_turns > 0:
+                state.update((session_no + 1, None, 0, None))
                 yield pd.DataFrame(
                     [(conv_id, session_no, n_turns, first_ts, last_ts)],
                     columns=["conv_id", "session_no", "n_turns", "first_ts", "last_ts"],

@@ -121,7 +121,7 @@ def test_group_selection_prunes_staged_partitions(
     out = str(tmp_path_factory.mktemp("out_prune"))
     run_with_checkpoints(spark, transcripts_path, out, run_id="r4", n_groups=N_GROUPS)
 
-    staged = spark.read.parquet(f"{out}/_staged")
+    staged = spark.read.parquet(f"{out}/_staged_g{N_GROUPS}")
     one_group = staged.where(F.col("grp") == 1)
     plan = one_group._jdf.queryExecution().executedPlan().toString()
     # the group predicate must land in PartitionFilters (metadata pruning),
@@ -132,5 +132,5 @@ def test_group_selection_prunes_staged_partitions(
     # and the staged layout is physically partitioned by group
     import glob
 
-    assert glob.glob(f"{out}/_staged/grp=1/*.parquet")
-    assert len(glob.glob(f"{out}/_staged/grp=*")) == N_GROUPS
+    assert glob.glob(f"{out}/_staged_g{N_GROUPS}/grp=1/*.parquet")
+    assert len(glob.glob(f"{out}/_staged_g{N_GROUPS}/grp=*")) == N_GROUPS

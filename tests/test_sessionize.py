@@ -96,3 +96,77 @@ def test_idle_conversation_final_session_is_flushed(spark, tmp_path_factory):
     row = out.iloc[0]
     assert row["conv_id"] == "conv-X"
     assert row["n_turns"] == 3  # the whole (only) session, flushed on idle
+
+
+class FakeGroupState:
+    """Minimal GroupState stand-in for kernel-level unit tests (the
+    applyInPandasWithState contract: exists/get/update/remove/hasTimedOut/
+    setTimeoutDuration)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_ms = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_kernel(kernel, key, pdfs, state):
+    return list(kernel(key, iter(pdfs), state))
+
+
+def test_session_numbering_survives_idle_flush_and_resume():
+    """ADVICE r02 (high): the idle-timeout flush must NOT discard the session
+    counter — a conversation that resumes after one or MORE idle gaps has to
+    continue at session_no+1, never re-emit session_no=0."""
+    from b2xtranslator_spark.streaming.sessionize import make_sessionizer
+
+    kernel = make_sessionizer(gap_seconds=60)
+    state = FakeGroupState()
+    key = ("conv-A",)
+
+    # batch 1: three close turns -> open session 0 in state, nothing emitted
+    out = _run_kernel(
+        kernel, key, [pd.DataFrame({"ts_epoch": [1000, 1001, 1002]})], state
+    )
+    assert out == [] and state.get[0] == 0 and state.get[2] == 3
+
+    # idle timeout fires: session 0 flushed, counter advanced and KEPT
+    state.hasTimedOut = True
+    out = _run_kernel(kernel, key, [], state)
+    assert len(out) == 1
+    assert out[0].iloc[0]["session_no"] == 0 and out[0].iloc[0]["n_turns"] == 3
+    assert state.exists and state.get == (1, None, 0, None)
+
+    # a SECOND empty timeout (conversation stays quiet) must not kill the
+    # counter either — this was the round-3 regression caught by the drive
+    out = _run_kernel(kernel, key, [], state)
+    assert out == [] and state.exists and state.get[0] == 1
+
+    # resume: new turns become session 1 (not a duplicate session 0)
+    state.hasTimedOut = False
+    out = _run_kernel(kernel, key, [pd.DataFrame({"ts_epoch": [9000, 9001]})], state)
+    assert out == [] and state.get == (1, 9001, 2, 9000)
+    state.hasTimedOut = True
+    out = _run_kernel(kernel, key, [], state)
+    assert out[0].iloc[0]["session_no"] == 1 and out[0].iloc[0]["n_turns"] == 2

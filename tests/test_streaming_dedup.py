@@ -39,3 +39,55 @@ def test_cross_batch_dedup_keeps_first(spark, tmp_path_factory):
     out = spark.read.parquet(out_dir).toPandas().sort_values("doc_id")
     assert out.doc_id.tolist() == [1, 2, 11], out
     assert set(out.text) == {"alpha text", "beta text", "gamma text"}
+
+
+def test_keep_first_ttl_kernel_expires_and_readmits():
+    """TTL contract (VERDICT r02 #6): a fingerprint idle past ttl_seconds is
+    evicted and its next occurrence re-emitted; duplicates inside the window
+    slide the timeout forward. Kernel-level test via a fake GroupState."""
+    import pandas as pd
+
+    from b2xtranslator_spark.streaming.dedup import make_keep_first
+    from tests.test_sessionize import FakeGroupState
+
+    kernel = make_keep_first(ttl_seconds=30)
+    state = FakeGroupState()
+    key = ("fp-1",)
+    batch = pd.DataFrame({"doc_id": [7, 3], "text": ["b", "a"]})
+
+    # first sighting: emit doc 3 (min doc_id), arm the TTL
+    out = list(kernel(key, iter([batch]), state))
+    assert len(out) == 1 and out[0].iloc[0]["doc_id"] == 3
+    assert state.get == (3,) and state.timeout_ms == 30_000
+
+    # duplicate within the window: suppressed, TTL slides forward
+    state.timeout_ms = None
+    out = list(kernel(key, iter([batch]), state))
+    assert out == [] and state.timeout_ms == 30_000
+
+    # TTL expiry: state evicted silently
+    state.hasTimedOut = True
+    out = list(kernel(key, iter([]), state))
+    assert out == [] and state.removed
+
+    # next occurrence after expiry is new again
+    state.hasTimedOut = False
+    out = list(kernel(key, iter([batch]), state))
+    assert len(out) == 1 and out[0].iloc[0]["doc_id"] == 3
+
+
+def test_keep_first_no_ttl_never_arms_timeout():
+    """Default contract: NoTimeout — keep-first forever, no timer ever set
+    (state is O(distinct fingerprints) by design, documented)."""
+    import pandas as pd
+
+    from b2xtranslator_spark.streaming.dedup import make_keep_first
+    from tests.test_sessionize import FakeGroupState
+
+    kernel = make_keep_first(None)
+    state = FakeGroupState()
+    batch = pd.DataFrame({"doc_id": [1], "text": ["x"]})
+    out = list(kernel(("fp",), iter([batch]), state))
+    assert len(out) == 1 and state.timeout_ms is None
+    out = list(kernel(("fp",), iter([batch]), state))
+    assert out == [] and state.timeout_ms is None
