@@ -24,10 +24,18 @@ Grpprl = list[tuple[int, bytes]]
 
 
 class ChpxFkp:
+    """Raises exactly where the C# ctor (FormattedDiskPageCHPX.cs:19-71)
+    throws on corrupt pages — the raise matters as much as the parse, because
+    GetAllCHPXFKPs swallows it and thereby TRUNCATES the FKP list at the
+    first bad page (all later pages, valid or not, are dropped). Fuzzed
+    fixtures' expected text encodes that truncation."""
+
     __slots__ = ("rgfc", "grpchpx")
 
     def __init__(self, page: bytes):
         crun = page[511]
+        # C# reads crun+1 int32s with no bounds guard: BitConverter throws
+        # once the offset passes 508 (struct.error here is the same signal)
         self.rgfc = list(struct.unpack_from(f"<{crun + 1}i", page, 0))
         self.grpchpx: list[Grpprl] = []
         j = 4 * (crun + 1)
@@ -36,6 +44,8 @@ class ChpxFkp:
             j += 1
             if word_offset != 0:
                 cb = page[word_offset * 2]
+                if word_offset * 2 + 1 + cb > 512:
+                    raise ValueError("CHPX bytes out of page")  # C# Array.Copy
                 chpx = page[word_offset * 2 + 1 : word_offset * 2 + 1 + cb]
                 self.grpchpx.append(parse_grpprl(chpx))
             else:
@@ -43,14 +53,27 @@ class ChpxFkp:
 
 
 class PapxFkp:
+    """Same C#-exact throw semantics as ChpxFkp (FormattedDiskPagePAPX.cs:
+    27-98): a corrupt page must raise so get_all_papx_fkps truncates the
+    list at that page, reproducing the reference's defacto behavior on
+    fuzzed files. Note the C# PAPX rgfc loop IS guarded (partial zeros, no
+    throw) — but any crun >= 125 then throws immediately in the PHE copy,
+    so raising from the rgfc unpack for crun >= 128 is net-identical."""
+
     __slots__ = ("rgfc", "grppapx")
 
     def __init__(self, page: bytes, data_stream: bytes | None):
         crun = page[511]
+        if 4 * (crun + 1) > 512:
+            # C#: rgfc partial-fills, then PHE Array.Copy at j=4*(crun+1)
+            # immediately exceeds the page
+            raise ValueError("PAPX crun exceeds page")
         self.rgfc = list(struct.unpack_from(f"<{crun + 1}i", page, 0))
         self.grppapx: list[Grpprl | None] = []
         j = 4 * (crun + 1)
         for _ in range(crun):
+            if j + 13 > 512:
+                raise ValueError("PAPX BX out of page")  # C# PHE Array.Copy
             word_offset = page[j]
             j += 13  # 1 byte offset + 12 bytes PHE
             if word_offset != 0:
@@ -61,6 +84,8 @@ class PapxFkp:
                     cw = page[word_offset * 2 + 1]
                 if cw != 0:
                     start = word_offset * 2 + pad + 1
+                    if start + cw * 2 > 512:
+                        raise ValueError("PAPX bytes out of page")  # C# Array.Copy
                     papx = page[start : start + cw * 2]
                     # first 2 bytes are the istd; the rest is the grpprl
                     grpprl = parse_grpprl(papx[2:])

@@ -29,11 +29,14 @@ KNOWN_DEVIATIONS = {
     "61586.doc",  # reference known-fail (failing-samples.txt)
     "Bug51944.doc",  # reference known-fail
     # expects the reference's EndOfStream error from a structure parse not
-    # yet pinpointed (STSH/ListTable/LFO/CommandTable/OfficeArt all verified
-    # to complete on this file); we extract the full text instead
+    # yet pinpointed (STSH/ListTable/LFO/CommandTable/OfficeArt/StringTables/
+    # AnnotationOwnerList/SEPX/PlcfHdd all verified to complete on this
+    # file; the throw site is somewhere in the mapping stage); we extract
+    # the full text instead of erroring
     "clusterfuzz-testcase-minimized-POIHWPFFuzzer-4892412469968896.doc",
-    # table-cell tab rendering differs in one nested-table region
-    "clusterfuzz-testcase-minimized-POIHWPFFuzzer-5195207308541952.doc",
+    # round-3 note: …5195… was fixed by porting the reference's FKP-list
+    # truncation semantics (one corrupt page drops all later pages,
+    # FormattedDiskPagePAPX.cs:107-139 catch-all) and is no longer tracked
 }
 
 
