@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     SIMHASH_BITS,
+    connected_components,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -173,6 +174,14 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
     return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the minhash LSH candidate
+    pairs; every doc (incl. singletons) labeled with its cluster keeper."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return connected_components(pairs, nodes=docs)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": _q_ann_ivf,
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_topk_lsh": _q_ann_lsh,
@@ -389,8 +399,9 @@ def _sql_h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
-    """Full SQL mirror of operators.dedup.minhash_lsh_candidates."""
+def _sql_minhash_pairs_cte(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
+    """CTE chain ending in ``pairs`` — the SQL mirror of
+    operators.dedup.minhash_lsh_candidates, reusable by the clusters oracle."""
     norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
     rows = num_hashes // bands
     # Kirsch-Mitzenmacher double hashing from one md5 per shingle
@@ -408,8 +419,7 @@ def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     ) + " END"
     bucket = _sql_h60(f"(1000+band) || '|' || ({band_case})")
-    return f"""
-            WITH words AS (
+    return f"""words AS (
                 SELECT doc_id, string_split({norm}, ' ') AS w
                 FROM documents WHERE doc_id < {doc_cap}
             ),
@@ -430,11 +440,46 @@ def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
                 FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
                 -- bucket skew guard (max_bucket_size), mirrored in Spark
                 QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 100000
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+            )"""
+
+
+def _sql_minhash_lsh(doc_cap: int, num_hashes: int = 16, bands: int = 4) -> str:
+    """Full SQL mirror of operators.dedup.minhash_lsh_candidates."""
+    return f"""
+            WITH {_sql_minhash_pairs_cte(doc_cap, num_hashes, bands)}
+            SELECT doc_a, doc_b FROM pairs
+        """
+
+
+def _sql_dedup_clusters(doc_cap: int) -> str:
+    """SQL mirror of operators.dedup.connected_components over the minhash
+    candidate pairs: transitive closure by recursive CTE, cluster id = min
+    reachable doc_id (the iterative min-label propagation's fixpoint)."""
+    return f"""
+            WITH RECURSIVE {_sql_minhash_pairs_cte(doc_cap)},
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            nodes AS (
+                SELECT doc_id FROM documents WHERE doc_id < {doc_cap}
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                        AND a.doc_id < b.doc_id
+            SELECT n.doc_id,
+                   least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_id
+            FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+            GROUP BY n.doc_id
         """
 
 
@@ -568,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
                                                b.embedding::DOUBLE[]), 6) >= 0.35
         """,
         "dedup_minhash_lsh": _sql_minhash_lsh(400),
+        "dedup_clusters": _sql_dedup_clusters(400),
         "dedup_embedding_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

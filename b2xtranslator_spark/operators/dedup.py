@@ -13,6 +13,13 @@ Four families over the `documents` table, all shuffle-conscious:
   self-join (oracle-checkable)
 - embedding cosine near-dup: exact pair similarity over `embeddings`
   (oracle-checkable via DuckDB list_cosine_similarity)
+- connected components: candidate pairs -> per-document cluster keeper
+  (iterative min-label propagation; oracle-checkable via a recursive
+  transitive-closure CTE)
+
+Every candidate self-join takes a ``max_bucket_size`` skew guard
+(operators/skew.py): one degenerate hot bucket otherwise goes quadratic at
+corpus scale.
 """
 
 from __future__ import annotations
@@ -319,4 +326,64 @@ def embedding_near_duplicates(
         .withColumn("cosine", F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 6))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup-cluster assignment: connected components over candidate pairs
+    (doc_a, doc_b), labeling every node with the MIN doc_id reachable from
+    it — the canonical "keeper" of its duplicate cluster. The stage that
+    turns pairwise LSH output into per-document keep/drop decisions.
+
+    Plan: iterative min-label propagation. Each round joins the (node, lbl)
+    frame to the symmetric edge list, takes the min neighbor label per node,
+    and stops when no label changed (one cheap count action per round). The
+    round count is bounded by the cluster diameter — near-duplicate clusters
+    are shallow (dozens of hops at most), not social-graph deep, so a small
+    max_iter bound holds at corpus scale; the classic large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce") halves
+    that to O(log d) rounds with the same join shape if diameter ever grows.
+    Labels are checkpoint-truncated each round via localCheckpoint to stop
+    the lineage (and its plan) growing linearly with iterations.
+
+    ``nodes`` (a frame with doc_id) widens the output to singleton docs
+    (cluster_id = own doc_id); omitted, only docs appearing in pairs are
+    labeled. Oracle: a recursive transitive-closure CTE computes the same
+    min-reachable label in portable SQL."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if nodes is not None:
+        labels = nodes.select(F.col("doc_id").alias("node"))
+    else:
+        labels = edges.select(F.col("src").alias("node"))
+    labels = labels.distinct().withColumn("lbl", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = new_labels.where(F.col("new_lbl") != F.col("lbl")).limit(1).count()
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -285,3 +285,31 @@ def test_id_only_band_shuffle_matches_carried_variant(embeddings):
         .toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_connected_components_cluster_planted_dups(docs, spark):
+    """Dedup clusters: pairs -> per-doc keeper label. Planted near-dups
+    (i, i+100000) must share cluster_id=i; a planted chain a-b, b-c must
+    close transitively into one cluster even though (a, c) is no direct
+    pair; singletons keep their own id."""
+    from b2xtranslator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 5, 9, 20, 21, 99)], "doc_id long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert out == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 99: 99}
+
+    # end-to-end over LSH candidates: every planted near-dup joins its
+    # original's cluster
+    cands = minhash_lsh_candidates(docs, 16, 8)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(cands, nodes=docs).collect()
+    }
+    for i in range(5):
+        assert labels[i + 100000] == labels[i]
