@@ -74,6 +74,57 @@ class ParseFailure(ValueError):
     pass
 
 
+class PictureParseError(ValueError):
+    """Error parity with the reference's unguarded PictureDescriptor reads."""
+
+
+_EOS_MSG = "Unable to read beyond the end of the stream."
+
+
+def _picture_error_parity(chpx: list, data_stream: bytes | None) -> None:
+    """Replicate PictureDescriptor.parse's typed-read bounds behavior
+    (PictureDescriptor.cs:155-230): the reference seeks the Data stream to
+    fcPic (from the LAST sprmCPicLocation/sprmCHsp in the CHPX, GetFcPic
+    PictureDescriptor.cs:237-259) and does unguarded BinaryReader reads — a
+    corrupt fcPic beyond the stream throws EndOfStreamException, which
+    propagates out of text extraction (no try/catch in DocumentMapping.cs:
+    1142/1291). Fuzzed fixtures encode that error as their expected text,
+    so the raise IS the correct output. Emits no text otherwise."""
+    import struct as _struct
+
+    from .sprm import SPRM_C_HSP, SPRM_C_PIC_LOCATION
+
+    fc = -1
+    for opcode, args in chpx:
+        if opcode in (SPRM_C_PIC_LOCATION, SPRM_C_HSP) and len(args) >= 4:
+            (fc,) = _struct.unpack_from("<i", args, 0)
+    if fc < 0 or data_stream is None:
+        return
+    n = len(data_stream)
+    pos = fc
+
+    def typed(nbytes: int) -> bytes:
+        nonlocal pos
+        if pos + nbytes > n or pos < 0:
+            raise PictureParseError(_EOS_MSG)
+        v = data_stream[pos : pos + nbytes]
+        pos += nbytes
+        return v
+
+    (lcb,) = _struct.unpack("<i", typed(4))
+    if lcb > 0:
+        typed(2)  # cbHeader
+        (mm,) = _struct.unpack("<h", typed(2))
+        typed(6)  # xExt, yExt, hMf
+        if mm > 98:
+            pos = min(n, pos + 14)  # rcWinMf via ReadBytes (clamps, no throw)
+            for _ in range(9):  # dxaGoal dyaGoal mx my 4x crops brcl
+                typed(2)
+            pos = min(n, pos + 16)  # 4 BorderCodes via ReadBytes
+            for _ in range(3):  # dxaOrigin dyaOrigin cProps
+                typed(2)
+
+
 class DocumentMapping:
     """Base mapping (DocumentMapping.cs). ``kind`` stands in for the C#
     GetType() checks: main|footnotes|endnotes|comments|header|footer|textbox
@@ -436,6 +487,18 @@ class DocumentMapping:
                     # w:object — no fldChar begin, so the writer never enters
                     # field mode (DocumentMapping.cs:1133-1165)
                     w.start_element("w", "object")
+                    # the reference parses the embedded object's PICT here
+                    # with unguarded Data-stream reads (DocumentMapping.cs:
+                    # 1135-1146) — reproduce the read bounds for error parity
+                    cp_pic = _search_next(doc.text, cp_field_start, PICTURE)
+                    if cp_pic < cp_field_end:
+                        fc_pic = doc.piece_table.cp_to_fc(cp_pic)
+                        if fc_pic is not None:
+                            chpxs_pic = doc.get_chpxs(fc_pic, fc_pic + 1)
+                            if chpxs_pic:
+                                _picture_error_parity(
+                                    chpxs_pic[0], doc.data_stream
+                                )
                     w.end_element()
                 else:
                     w.start_element("w", "fldChar")
@@ -484,7 +547,10 @@ class DocumentMapping:
                     if content:
                         w.write_string(content)
             elif c == PICTURE and f_spec:
-                pass  # picture elements carry no text (DocumentMapping.cs:1290-1315)
+                # picture elements carry no text (DocumentMapping.cs:1290-1315)
+                # but the reference's PictureDescriptor reads are unguarded —
+                # reproduce their bounds behavior for error parity
+                _picture_error_parity(chpx, doc.data_stream)
             elif c == AUTO_FOOTNOTE_REF and f_spec:
                 w.end_element()
                 w.start_element("w", text_type)

@@ -25,18 +25,15 @@ from b2xtranslator_spark.formats.word.extract import extract_doc_text, normalize
 SAMPLES = "/root/reference/samples"
 
 # files we do not hard-assert (tracked separately; see module docstring)
+# Only the reference's own tracked failures remain (failing-samples.txt).
+# Round-3 closures: …5195… via the reference's FKP-list truncation semantics
+# (one corrupt page drops all later pages, FormattedDiskPagePAPX.cs:107-139
+# catch-all); …4892… via PictureDescriptor read-bounds error parity (a fuzzed
+# fcPic beyond the Data stream throws the reference's EndOfStreamException,
+# PictureDescriptor.cs:165-170 — the error message IS the expected text).
 KNOWN_DEVIATIONS = {
     "61586.doc",  # reference known-fail (failing-samples.txt)
     "Bug51944.doc",  # reference known-fail
-    # expects the reference's EndOfStream error from a structure parse not
-    # yet pinpointed (STSH/ListTable/LFO/CommandTable/OfficeArt/StringTables/
-    # AnnotationOwnerList/SEPX/PlcfHdd all verified to complete on this
-    # file; the throw site is somewhere in the mapping stage); we extract
-    # the full text instead of erroring
-    "clusterfuzz-testcase-minimized-POIHWPFFuzzer-4892412469968896.doc",
-    # round-3 note: …5195… was fixed by porting the reference's FKP-list
-    # truncation semantics (one corrupt page drops all later pages,
-    # FormattedDiskPagePAPX.cs:107-139 catch-all) and is no longer tracked
 }
 
 
