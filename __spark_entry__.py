@@ -49,8 +49,10 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     fingerprint,
     language_id,
     quality_score,
+    stratified_sample,
     token_count,
     token_histogram,
+    top_tokens,
     winnowing_fingerprints,
 )
 from b2xtranslator_spark.pipeline import run_extraction  # noqa: E402
@@ -267,6 +269,14 @@ def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(_table(spark, sf_dir, "documents"))
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_tokens(_table(spark, sf_dir, "documents"), k=20)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(_table(spark, sf_dir, "documents"), per_source=5)
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(_table(spark, sf_dir, "documents"))
 
@@ -370,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
         "sample_documents": _q_sample,
+        "stratified_sample": _q_stratified_sample,
+        "top_tokens": _q_top_tokens,
         "token_histogram": _q_token_histogram,
         "docs_by_source": _q_docs_by_source,
         "event_asof_join": _q_event_asof,
@@ -734,6 +746,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE substring(md5({norm}), 1, 2) < '28'
+        """,
+        "top_tokens": f"""
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest({_sql_words()}) AS w FROM documents)
+            WHERE length(w) >= 3
+            GROUP BY w
+            ORDER BY n DESC, w ASC
+            LIMIT 20
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source, rk::INT AS sample_rank
+            FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5({norm}), doc_id
+                       ) AS rk
+                FROM documents
+            )
+            WHERE rk <= 5
         """,
         "token_histogram": f"""
             SELECT floor(len({_sql_words()}) / 20)::BIGINT AS token_bucket,

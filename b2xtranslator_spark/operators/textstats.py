@@ -173,3 +173,50 @@ def winnowing_fingerprints(
     return hashed.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def top_tokens(documents: DataFrame, k: int = 20, min_len: int = 3) -> DataFrame:
+    """Corpus heavy hitters: the k most frequent tokens (len > min_len-1),
+    deterministic tiebreak by token. The vocabulary health-check run before/
+    after every corpus filter (stopword drift, boilerplate explosions).
+
+    Plan: explode -> hash-agg count (map-side partial agg absorbs the token
+    skew: 'the' pre-aggregates inside every task before one combined row per
+    partition shuffles) -> TakeOrdered top-k on the driver (k rows, not the
+    vocabulary). At corpus scale the exact count of EVERY distinct token is
+    itself a big shuffle (vocabulary-sized); if only the heavy tail matters,
+    the sketch path (count-min + heap per partition) trades exactness for a
+    fixed-size merge — this exact form is the oracle-checkable baseline."""
+    words = F.split(F.lower(F.col("text")), " ")
+    tok = documents.select(F.explode(words).alias("w")).where(
+        F.length("w") >= min_len
+    )
+    return (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(k)
+    )
+
+
+def stratified_sample(
+    documents: DataFrame, per_source: int = 5
+) -> DataFrame:
+    """Deterministic stratified sample: the ``per_source`` documents with the
+    smallest content-md5 per source — a reproducible, engine-independent
+    draw (rank by a content hash = uniform pseudo-random order) that keeps
+    every stratum represented no matter how skewed the source mix is.
+
+    Plan: one shuffle on source (window partition), rank by (md5, doc_id),
+    keep rank <= N. Sources are few and strata small, so the window sort is
+    per-stratum cheap; the md5 tiebreak on doc_id makes the draw total."""
+    from pyspark.sql.window import Window
+
+    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    fp = F.md5(F.encode(normalized, "UTF-8"))
+    w = Window.partitionBy("source").orderBy(fp, F.col("doc_id"))
+    return (
+        documents.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_source)
+        .select("doc_id", "source", F.col("rk").alias("sample_rank"))
+    )
