@@ -86,6 +86,20 @@ _DECODE_CACHE: "OrderedDict[bytes, tuple]" = None  # type: ignore[assignment]
 # A/B runs can measure the cache-cold decode rate honestly)
 _DECODE_CACHE_MAX = int(os.environ.get("B2X_DECODE_CACHE", "256"))
 
+# Per-document payload cap (decoded bytes): at corpus scale a single
+# multi-GB attachment must become an error row, not a Python-worker OOM.
+# The base64 text is ~4/3 the decoded size; the cap is checked on the
+# encoded length before any allocation. 256 MB default — far above any
+# legitimate Office binary, small enough that one doc cannot take down an
+# executor that sized its memory for normal batches.
+_MAX_PAYLOAD_BYTES = int(os.environ.get("B2X_MAX_PAYLOAD_BYTES", str(256 << 20)))
+
+# Output chunking budget for the map kernel: the INPUT Arrow batch size is
+# bounded JVM-side (maxRecordsPerBatch=128 x payload size), but the kernel's
+# OUTPUT frame + its Arrow serialization buffer are extra copies — yielding
+# in byte-bounded slices caps that additional footprint per batch.
+_OUT_CHUNK_BYTES = int(os.environ.get("B2X_OUT_CHUNK_BYTES", str(64 << 20)))
+
 
 def _extract_one(text: str | None, tool: str | None) -> tuple:
     """Extract a single turn. Payload may arrive in `text` OR `tool`
@@ -126,6 +140,16 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             _DECODE_CACHE.move_to_end(key)
             return hit
 
+    encoded_len = len(src) - len(PAYLOAD_PREFIX)
+    if encoded_len // 4 * 3 > _MAX_PAYLOAD_BYTES:
+        return (
+            "",
+            [],
+            "oversize",
+            f"payload ~{encoded_len // 4 * 3} bytes exceeds "
+            f"B2X_MAX_PAYLOAD_BYTES={_MAX_PAYLOAD_BYTES}",
+            (0, 0, 0, 1, 0),
+        )
     try:
         payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])
     except Exception as exc:  # malformed base64 is a row error, not a task error
@@ -161,12 +185,37 @@ def extract_turns(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     vectorizes its own byte work internally)."""
     import numpy as np
 
-    for pdf in batches:
+    for whole in batches:
+        # byte-bounded slicing: one slice's outputs (and their Arrow
+        # serialization) are the only extra copies alive at a time, so a
+        # batch of huge attachments cannot triple-buffer itself into an OOM
+        sizes = (
+            whole["text"].str.len().to_numpy(dtype="float64", na_value=0.0)
+            + whole["tool"].str.len().to_numpy(dtype="float64", na_value=0.0)
+        )
+        cuts = [0]
+        acc = 0
+        for r, sz in enumerate(sizes):
+            acc += int(sz)
+            if acc >= _OUT_CHUNK_BYTES and r + 1 < len(whole):
+                cuts.append(r + 1)
+                acc = 0
+        cuts.append(len(whole))
+        slices = (
+            [whole]
+            if len(cuts) == 2
+            else [whole.iloc[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+        )
+        yield from _extract_frames(slices, np)
+
+
+def _extract_frames(slices, np) -> Iterator[pd.DataFrame]:
+    for pdf in slices:
         text_s = pdf["text"]
         tool_s = pdf["tool"]
         is_doc = (
-            text_s.str.startswith(PAYLOAD_PREFIX).fillna(False)
-            | tool_s.str.startswith(PAYLOAD_PREFIX).fillna(False)
+            text_s.str.startswith(PAYLOAD_PREFIX, na=False)
+            | tool_s.str.startswith(PAYLOAD_PREFIX, na=False)
         ).to_numpy()
 
         # vectorized passthrough defaults for every row (chat rows keep them)

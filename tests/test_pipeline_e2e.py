@@ -119,3 +119,43 @@ def test_spans_cover_text(spark, corpus):
         assert spans[-1]["end"] == len(r["text"])
         for a, b in zip(spans, spans[1:]):
             assert a["end"] == b["start"]
+
+
+def test_oversize_payload_and_output_chunking(spark, monkeypatch):
+    """Memory guards (SURVEY.md §7 / ISSUE-003): a payload over
+    B2X_MAX_PAYLOAD_BYTES becomes an error row (never a worker OOM), and the
+    map kernel yields byte-bounded output slices whose union is exactly the
+    batch."""
+    import base64
+
+    import pandas as pd
+
+    import b2xtranslator_spark.pipeline as pl
+
+    doc = open("/root/reference/samples/hyperlink.doc", "rb").read()
+    payload = pl.PAYLOAD_PREFIX + base64.b64encode(doc).decode()
+
+    monkeypatch.setattr(pl, "_MAX_PAYLOAD_BYTES", 1024)
+    monkeypatch.setattr(pl, "_OUT_CHUNK_BYTES", 2 * len(payload))
+    batch = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": range(6),
+            "text": [payload, "chat", None, payload, "more chat", payload],
+            "tool": [None] * 6,
+        }
+    )
+    frames = list(pl.extract_turns(iter([batch])))
+    assert len(frames) > 1, "expected byte-bounded chunked output"
+    out = pd.concat(frames, ignore_index=True)
+    assert len(out) == 6
+    assert list(out["turn_idx"]) == list(range(6))  # order preserved
+    assert (out.loc[[0, 3, 5], "status"] == "oversize").all()
+    assert (out["status"] == "oversize").sum() == 3
+    assert out.loc[2, "status"] == "skipped"  # empty chat row passes through
+    assert out.loc[1, "status"] == "skipped" and out.loc[1, "text"] == "chat"
+
+    # under the default cap the same payload decodes fine
+    monkeypatch.setattr(pl, "_MAX_PAYLOAD_BYTES", 256 << 20)
+    ok = pl._extract_one(payload, None)
+    assert ok[2] == "ok"
