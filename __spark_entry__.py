@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     SIMHASH_BITS,
     connected_components,
+    dedup_pipeline,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -184,6 +185,13 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
     pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
     return connected_components(pairs, nodes=docs)
+
+
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: LSH candidates -> exact Jaccard verify ->
+    clusters -> per-doc keep/drop."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return dedup_pipeline(docs, jaccard_threshold=0.5)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_pipeline": _q_dedup_pipeline,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_topk_lsh": _q_ann_lsh,
@@ -490,6 +499,54 @@ def _sql_dedup_clusters(doc_cap: int) -> str:
             )
             SELECT n.doc_id,
                    least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_id
+            FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
+            GROUP BY n.doc_id
+        """
+
+
+def _sql_dedup_pipeline(doc_cap: int, threshold: float = 0.5) -> str:
+    """SQL mirror of operators.dedup.dedup_pipeline: minhash candidates ->
+    exact word-set Jaccard verify -> transitive closure -> keep/drop."""
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    return f"""
+            WITH RECURSIVE {_sql_minhash_pairs_cte(doc_cap)},
+            vtok AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+                    FROM documents WHERE doc_id < {doc_cap}
+                ) WHERE length(w) > 2
+            ),
+            vsizes AS (SELECT doc_id, count(*) AS n FROM vtok GROUP BY 1),
+            common AS (
+                SELECT p.doc_a, p.doc_b, count(*) AS c
+                FROM pairs p
+                JOIN vtok a ON a.doc_id = p.doc_a
+                JOIN vtok b ON b.doc_id = p.doc_b AND b.w = a.w
+                GROUP BY p.doc_a, p.doc_b
+            ),
+            verified AS (
+                SELECT doc_a, doc_b
+                FROM common
+                JOIN vsizes na ON na.doc_id = doc_a
+                JOIN vsizes nb ON nb.doc_id = doc_b
+                WHERE round(c / (na.n + nb.n - c), 6) >= {threshold}
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM verified
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM verified
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            nodes AS (
+                SELECT doc_id FROM documents WHERE doc_id < {doc_cap}
+            )
+            SELECT n.doc_id,
+                   least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS cluster_id,
+                   n.doc_id = least(n.doc_id, coalesce(min(r.b), n.doc_id)) AS keep
             FROM nodes n LEFT JOIN reach r ON r.a = n.doc_id
             GROUP BY n.doc_id
         """
@@ -626,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _sql_minhash_lsh(400),
         "dedup_clusters": _sql_dedup_clusters(400),
+        "dedup_pipeline": _sql_dedup_pipeline(400),
         "dedup_embedding_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

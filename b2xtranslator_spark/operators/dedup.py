@@ -387,3 +387,73 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def jaccard_verify_pairs(
+    documents: DataFrame, pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-set Jaccard for GIVEN candidate pairs only (the verify
+    stage after LSH pair-finding). Unlike ngram_jaccard_pairs (which
+    self-joins the whole token table), this joins the candidate list to the
+    per-doc distinct-token sets twice, so work is proportional to the
+    candidates' token mass — the shape a candidates->verify pipeline needs
+    at corpus scale."""
+    words = F.split(_norm_text(), " ")
+    tok = (
+        documents.select("doc_id", F.explode(words).alias("w"))
+        .where(F.length("w") > 2)
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    common = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_pipeline(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """The full corpus-dedup decision in one dataflow: MinHash-LSH
+    candidates -> exact Jaccard verify -> connected components -> per-doc
+    keep/drop. Every document comes back labeled with its cluster keeper
+    and whether it survives dedup (keep = it IS the keeper).
+
+    This is the end-to-end composition a training-data pipeline runs:
+    candidate generation is banded (never all-pairs, skew-guarded), the
+    verify touches only candidate token mass, clustering is min-label
+    propagation, and the decision is a deterministic function of the
+    cluster (min doc_id wins). Fully oracle-checkable in portable SQL
+    (recursive CTE over the same candidate+verify definition)."""
+    pairs = minhash_lsh_candidates(
+        documents, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
+    verified = jaccard_verify_pairs(documents, pairs, jaccard_threshold)
+    clusters = connected_components(
+        verified.select("doc_a", "doc_b"), nodes=documents
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -313,3 +313,19 @@ def test_connected_components_cluster_planted_dups(docs, spark):
     }
     for i in range(5):
         assert labels[i + 100000] == labels[i]
+
+
+def test_dedup_pipeline_keep_drop_decisions(docs, spark):
+    """End-to-end dedup: planted near-dups (i, i+100000) must land in one
+    cluster with the original kept and the copy dropped; untouched docs keep
+    themselves."""
+    from b2xtranslator_spark.operators.dedup import dedup_pipeline
+
+    out = dedup_pipeline(docs, num_hashes=16, bands=8, jaccard_threshold=0.5).toPandas()
+    by_doc = out.set_index("doc_id")
+    for i in range(5):
+        assert by_doc.loc[i + 100000, "cluster_id"] == by_doc.loc[i, "cluster_id"]
+        assert not by_doc.loc[i + 100000, "keep"]
+        assert bool(by_doc.loc[by_doc.loc[i, "cluster_id"], "keep"])
+    # survivors + dropped = corpus; each cluster keeps exactly one doc
+    assert out["keep"].sum() == out["cluster_id"].nunique()
