@@ -2,12 +2,15 @@
 
 Images/audio/video are carried as `binary` columns with a metadata struct.
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the codec step itself is STUBBED — the
-image/audio libraries are not in this container — behind a deterministic
-fake so tests exercise the full distributed path.
+signatures) is real and tested.
 
-Swap `_decode_image_stub` for a real decoder (PIL/libvips) in production;
-everything else is unchanged.
+The IMAGE codec is REAL: PNG and BMP decode via the pure-stdlib codec in
+formats/imaging.py (zlib + NumPy un-filtering — no PIL needed), with
+arbitrary-size mean-pool resize. Payloads that are neither PNG nor BMP
+(this container has no audio/video libraries: pyav/soundfile absent) fall
+back to `_decode_image_stub`, a deterministic fake that keeps the
+distributed path exercised for those kinds; swap it for pyav/soundfile in
+production — everything else is unchanged.
 """
 
 from __future__ import annotations
@@ -57,16 +60,27 @@ FEATURE_DIM = 16
 
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB decoder: a real implementation would call PIL.Image.open /
-    soundfile / pyav here. The fake derives a deterministic pseudo-pixel
-    array from the payload digest, so the downstream vectorized feature
-    math (the part that matters for Spark) runs on realistic shapes."""
+    """STUB decoder for payloads with no stdlib-decodable codec (audio,
+    video containers): derives a deterministic pseudo-pixel array from the
+    payload digest, so the downstream vectorized feature math (the part
+    that matters for Spark) runs on realistic shapes. Swap for
+    pyav/soundfile in production."""
     digest = hashlib.sha256(payload or b"").digest()
     side = 8
     arr = np.frombuffer((digest * ((side * side * 3) // len(digest) + 1))[
         : side * side * 3
     ], dtype=np.uint8)
     return arr.reshape(side, side, 3).astype(np.float32)
+
+
+def _decode_media(payload: bytes) -> np.ndarray:
+    """REAL image decode for PNG/BMP payloads (formats/imaging.py), stub
+    fallback for everything else. Returns float32 HxWx3."""
+    from ..formats.imaging import decode_image, is_bmp, is_png
+
+    if is_png(payload) or is_bmp(payload):
+        return decode_image(payload).astype(np.float32)
+    return _decode_image_stub(payload)
 
 
 def extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,9 +96,11 @@ def extract_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         ):
             payload = bytes(payload) if payload is not None else b""
             try:
-                img = _decode_image_stub(payload)
-                # 2x2 mean-pool "resize" + channel stats = 16-dim feature
-                pooled = img.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+                from ..formats.imaging import mean_pool
+
+                img = _decode_media(payload)
+                # mean-pool to 4x4 (any input size) + channel stats = 16-dim
+                pooled = mean_pool(img, 4, 4)
                 feature = np.concatenate(
                     [
                         pooled.mean(axis=(0, 1)),
@@ -120,21 +136,32 @@ def run_media_features(media: DataFrame, num_partitions: int | None = None) -> D
 
 
 def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests: payload = seeded bytes."""
+    """Deterministic media table for tests: image rows carry REAL encoded
+    PNG/BMP payloads (alternating; pixels seeded from the row index),
+    audio/video rows carry opaque seeded bytes (no stdlib codec exists for
+    them — they exercise the stub fallback)."""
+    from ..formats.imaging import encode_bmp, encode_png
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_rows):
-        payload = hashlib.sha256(struct.pack("<i", i)).digest() * 4
-        rows.append(
-            (
-                f"m-{i:05d}",
-                kinds[i % 3],
-                bytearray(payload),
-                "application/octet-stream",
-                64,
-                64,
-                1000 + i,
+        kind = kinds[i % 3]
+        if kind == "image":
+            rng = np.random.RandomState(i)
+            img = rng.randint(0, 256, size=(16, 12, 3)).astype(np.uint8)
+            payload = (
+                encode_png(img, filter_type=i % 5)
+                if (i // 3) % 2 == 0
+                else encode_bmp(img)
             )
+            mime = "image/png" if (i // 3) % 2 == 0 else "image/bmp"
+            w, h = 12, 16
+        else:
+            payload = hashlib.sha256(struct.pack("<i", i)).digest() * 4
+            mime = "application/octet-stream"
+            w, h = 64, 64
+        rows.append(
+            (f"m-{i:05d}", kind, bytearray(payload), mime, w, h, 1000 + i)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -152,11 +179,9 @@ THUMB_SCHEMA = StructType(
 
 
 def resize_thumbnails(media: DataFrame, side: int = 4) -> DataFrame:
-    """Decode (stub) -> mean-pool resize -> emit thumbnail bytes.
-
-    The real-decoder swap point is the same `_decode_image_stub`; the
-    Spark-side contract (binary in, small binary out, row-level error
-    tolerance, Arrow batching) is the part under test."""
+    """Decode (real PNG/BMP; stub otherwise) -> mean-pool resize -> emit
+    thumbnail bytes. The Spark-side contract: binary in, small binary out,
+    row-level error tolerance, Arrow batching."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,9 +192,10 @@ def resize_thumbnails(media: DataFrame, side: int = 4) -> DataFrame:
             ):
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    img = _decode_image_stub(payload)  # 8x8x3
-                    f = 8 // side
-                    pooled = img.reshape(side, f, side, f, 3).mean(axis=(1, 3))
+                    from ..formats.imaging import mean_pool
+
+                    img = _decode_media(payload)
+                    pooled = mean_pool(img, side, side)
                     out["thumb"].append(pooled.astype(np.uint8).tobytes())
                     out["thumb_w"].append(side)
                     out["thumb_h"].append(side)
