@@ -32,6 +32,7 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     simhash_candidate_pairs,
 )
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
+    image_near_duplicates,
     resize_thumbnails,
     run_media_features,
     sample_frames,
@@ -172,6 +173,36 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4).select(
         "media_id", "frame_idx", "ts_ms", "status"
     )
+
+
+def _q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual dHash over REAL decoded PNG/BMP pixels
+    + banded Hamming pair-finding. Oracle-less by nature (PNG decode is not
+    SQL-expressible); pytest covers format-independence and edit tolerance.
+    The corpus plants near-dups: every image appears as PNG and BMP of the
+    same pixels in alternating blocks, so cross-format pairs exist."""
+    from pyspark.sql import Row
+
+    import numpy as np
+
+    from b2xtranslator_spark.formats.imaging import encode_bmp, encode_png
+    from b2xtranslator_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for i in range(48):
+        rng = np.random.RandomState(i % 16)  # 16 distinct images x 3 encodings
+        img = rng.randint(0, 256, size=(16, 12, 3)).astype(np.uint8)
+        variant = i // 16
+        if variant == 2:  # lightly edited copy
+            img = img.copy()
+            img[0, 0] = 255
+        payload = encode_png(img) if variant != 1 else encode_bmp(img)
+        rows.append(
+            (f"img-{i % 16:02d}-v{variant}", "image", bytearray(payload),
+             "image/*", 12, 16, 0)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return image_near_duplicates(media, max_hamming=7)
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_thumbnails": _q_media_thumbnails,
         "media_frame_samples": _q_media_frames,
+        "media_image_neardup": _q_media_image_neardup,
         "similarity_topk_ivf": _q_ann_ivf,
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -270,4 +271,109 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
     return media.select("media_id", "kind", "payload", "duration_ms").mapInPandas(
         kernel, schema=FRAME_SCHEMA
+    )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("dhash", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, hash_side: int = 8) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels: grayscale,
+    mean-pool to (side x side+1), emit one bit per horizontal gradient
+    (left < right). Near-identical images — recompressed, format-converted
+    (PNG vs BMP of the same pixels hash IDENTICALLY), lightly edited —
+    land within a few bits; the standard cheap image-dedup signature.
+
+    64 bits at side=8; non-image payloads (stub decode) still hash
+    deterministically so the operator is total over the media table."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..formats.imaging import mean_pool
+
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [], "status": []}
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    img = _decode_media(payload)
+                    grey = img.mean(axis=2)
+                    pooled = mean_pool(
+                        grey[:, :, None], hash_side, hash_side + 1
+                    )[:, :, 0]
+                    bits = (pooled[:, 1:] > pooled[:, :-1]).reshape(-1)
+                    h = 0
+                    for b in bits:
+                        h = (h << 1) | int(b)
+                    # keep within signed int64 (64 bits -> top bit signed)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    out["dhash"].append(h)
+                    out["status"].append("ok")
+                except Exception as exc:  # row-level tolerance
+                    out["dhash"].append(0)
+                    out["status"].append(f"decode_error: {exc}")
+                out["media_id"].append(media_id)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=DHASH_SCHEMA
+    )
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    max_hamming: int = 5,
+    bands: int = 8,
+    bits: int = 64,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash -> banded Hamming pair-finding.
+
+    The same pigeonhole construction as the text SimHash pairs: slice the
+    hash into ``bands`` disjoint bit ranges and equi-join on (band, slice) —
+    any pair within ``bands - 1`` Hamming distance shares at least one
+    identical band, so 8 bands give 100% recall for hamming <= 7; exact
+    popcount verifies. Shuffle is O(images x bands), skew-guarded, never
+    all-pairs."""
+    from pyspark.sql import functions as F
+
+    from .skew import cap_bucket_size
+
+    sig = image_dhash(media).where(F.col("status") == "ok")
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("dhash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keyed = sig.select(
+        "media_id", "dhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("media_id", "dhash", "bk.band", "bk.key")
+    keyed = cap_bucket_size(keyed, ["band", "key"], max_bucket_size)
+    a = keyed.select(
+        F.col("media_id").alias("media_a"), F.col("dhash").alias("ha"),
+        "band", "key",
+    )
+    b = keyed.select(
+        F.col("media_id").alias("media_b"), F.col("dhash").alias("hb"),
+        "band", "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .dropDuplicates(["media_a", "media_b"])
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
     )

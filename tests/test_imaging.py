@@ -83,3 +83,39 @@ def test_media_features_use_real_decoder(spark):
     expected_first3 = pooled.mean(axis=(0, 1))
     got = np.array(feats.loc["m-00000", "feature"][:3])
     assert np.allclose(got, expected_first3, atol=1e-3), (got, expected_first3)
+
+
+def test_image_dhash_and_near_duplicates(spark):
+    """Image dedup over real pixels: the same image re-encoded in a
+    different format (PNG vs BMP) must hash identically (hamming 0); a
+    lightly edited copy lands within the hamming bound; unrelated images
+    do not pair."""
+    import pandas as pd
+
+    from b2xtranslator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_dhash,
+        image_near_duplicates,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 24, 3)).astype(np.uint8)
+    edited = base.copy()
+    edited[:2, :2] = 255  # small local edit
+    other = rng.randint(0, 256, size=(32, 24, 3)).astype(np.uint8)
+    rows = [
+        ("img-a-png", "image", bytearray(encode_png(base)), "image/png", 24, 32, 0),
+        ("img-a-bmp", "image", bytearray(encode_bmp(base)), "image/bmp", 24, 32, 0),
+        ("img-a-edit", "image", bytearray(encode_png(edited)), "image/png", 24, 32, 0),
+        ("img-other", "image", bytearray(encode_png(other)), "image/png", 24, 32, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert hashes["img-a-png"] == hashes["img-a-bmp"]  # format-independent
+
+    pairs = image_near_duplicates(media, max_hamming=7).toPandas()
+    found = {(r.media_a, r.media_b) for r in pairs.itertuples()}
+    assert ("img-a-bmp", "img-a-png") in found
+    assert ("img-a-edit", "img-a-png") in found or ("img-a-edit", "img-a-bmp") in found
+    assert not any("img-other" in p for pair in found for p in pair)
