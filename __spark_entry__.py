@@ -34,6 +34,7 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
     image_near_duplicates,
     resize_thumbnails,
+    run_audio_features,
     run_media_features,
     sample_frames,
     synthesize_media,
@@ -173,6 +174,14 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4).select(
         "media_id", "frame_idx", "ts_ms", "status"
     )
+
+
+def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode + features (stdlib wave + NumPy); non-WAV payloads
+    surface as unsupported_codec rows. Oracle-less by nature (WAV decode is
+    not SQL-expressible); pytest asserts physics on known sines."""
+    media = synthesize_media(spark, n_rows=96)
+    return run_audio_features(media)
 
 
 def _q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnails": _q_media_thumbnails,
         "media_frame_samples": _q_media_frames,
         "media_image_neardup": _q_media_image_neardup,
+        "media_audio_features": _q_media_audio_features,
         "similarity_topk_ivf": _q_ann_ivf,
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,

@@ -6,10 +6,11 @@ signatures) is real and tested.
 
 The IMAGE codec is REAL: PNG and BMP decode via the pure-stdlib codec in
 formats/imaging.py (zlib + NumPy un-filtering — no PIL needed), with
-arbitrary-size mean-pool resize. Payloads that are neither PNG nor BMP
-(this container has no audio/video libraries: pyav/soundfile absent) fall
-back to `_decode_image_stub`, a deterministic fake that keeps the
-distributed path exercised for those kinds; swap it for pyav/soundfile in
+arbitrary-size mean-pool resize. The AUDIO codec is REAL for PCM WAV
+(formats/audio.py: stdlib wave + NumPy features). Only VIDEO remains
+stubbed (no stdlib container/codec exists; this container has no pyav):
+non-decodable payloads fall back to `_decode_image_stub`, a deterministic
+fake that keeps the distributed path exercised; swap it for pyav in
 production — everything else is unchanged.
 """
 
@@ -139,8 +140,10 @@ def run_media_features(media: DataFrame, num_partitions: int | None = None) -> D
 def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL encoded
     PNG/BMP payloads (alternating; pixels seeded from the row index),
-    audio/video rows carry opaque seeded bytes (no stdlib codec exists for
-    them — they exercise the stub fallback)."""
+    audio rows carry REAL PCM WAV payloads (seeded sine + noise), video
+    rows carry opaque seeded bytes (no stdlib codec — they exercise the
+    stub fallback)."""
+    from ..formats.audio import encode_wav
     from ..formats.imaging import encode_bmp, encode_png
 
     rows = []
@@ -157,6 +160,16 @@ def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
             )
             mime = "image/png" if (i // 3) % 2 == 0 else "image/bmp"
             w, h = 12, 16
+        elif kind == "audio":
+            rng = np.random.RandomState(i)
+            rate = 8000
+            t = np.arange(rate // 4) / rate  # 250 ms
+            freq = 200.0 + (i % 10) * 100.0
+            samples = 0.5 * np.sin(2 * np.pi * freq * t)
+            samples += 0.01 * rng.randn(len(t))
+            payload = encode_wav(samples, sample_rate=rate)
+            mime = "audio/wav"
+            w, h = 0, 0
         else:
             payload = hashlib.sha256(struct.pack("<i", i)).digest() * 4
             mime = "application/octet-stream"
@@ -376,4 +389,60 @@ def image_near_duplicates(
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zcr", FloatType()),
+        StructField("centroid_hz", FloatType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def run_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio features for WAV payloads (formats/audio.py: stdlib wave
+    + NumPy — RMS, zero-crossing rate, spectral centroid, duration). Rows
+    whose payload is not RIFF/WAVE get status='unsupported_codec' (honest:
+    compressed audio needs pyav/soundfile, absent in this container)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..formats.audio import audio_features, decode_wav, is_wav
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "duration_s", "rms", "zcr",
+                                    "centroid_hz", "status")}
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if not is_wav(payload):
+                        raise ValueError("unsupported_codec")
+                    samples, rate = decode_wav(payload)
+                    f = audio_features(samples, rate)
+                    out["duration_s"].append(float(f["duration_s"]))
+                    out["rms"].append(float(f["rms"]))
+                    out["zcr"].append(float(f["zcr"]))
+                    out["centroid_hz"].append(float(f["centroid_hz"]))
+                    out["status"].append("ok")
+                except Exception as exc:  # row-level tolerance
+                    out["duration_s"].append(0.0)
+                    out["rms"].append(0.0)
+                    out["zcr"].append(0.0)
+                    out["centroid_hz"].append(0.0)
+                    msg = str(exc)
+                    out["status"].append(
+                        "unsupported_codec" if "unsupported_codec" in msg
+                        else f"decode_error: {msg}"
+                    )
+                out["media_id"].append(media_id)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
     )
