@@ -147,3 +147,42 @@ def test_checkpoint_group_read_is_partition_pruned(spark, tmp_path_factory):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "grp" in pf
+
+
+def test_winnowing_plan_has_zero_shuffle(docs):
+    """Round-3 claim: winnowing is a PURE MAP (no explode-per-char through a
+    window sort) — the physical plan must contain no Exchange at all."""
+    from b2xtranslator_spark.operators.textstats import winnowing_fingerprints
+
+    plan = _plan(winnowing_fingerprints(docs, max_docs=50))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan
+
+
+def test_top_tokens_has_partial_agg_and_takeordered(docs):
+    """Heavy hitters: map-side partial count before the shuffle, TakeOrdered
+    for the top-k (never a global sort of the vocabulary)."""
+    from b2xtranslator_spark.operators.textstats import top_tokens
+
+    plan = _plan(top_tokens(docs, k=10))
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_skew_guarded_joins_have_no_cartesian(spark, docs):
+    """The guarded candidate joins (minhash + image dHash) must stay
+    equi-joins: no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from b2xtranslator_spark.operators.dedup import minhash_lsh_candidates
+    from b2xtranslator_spark.operators.multimodal import (
+        image_near_duplicates,
+        synthesize_media,
+    )
+
+    for df in (
+        minhash_lsh_candidates(docs.where(F.col("doc_id") < 50), 16, 4),
+        image_near_duplicates(synthesize_media(spark, n_rows=12)),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
