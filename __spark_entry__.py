@@ -55,6 +55,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     stratified_sample,
     token_count,
     token_histogram,
+    token_length_quantiles,
     top_tokens,
     winnowing_fingerprints,
 )
@@ -329,6 +330,10 @@ def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(_table(spark, sf_dir, "documents"))
 
 
+def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_length_quantiles(_table(spark, sf_dir, "documents"))
+
+
 def _q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _table(spark, sf_dir, "documents")
@@ -434,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "top_tokens": _q_top_tokens,
         "token_histogram": _q_token_histogram,
+        "token_length_quantiles": _q_token_quantiles,
         "docs_by_source": _q_docs_by_source,
         "event_asof_join": _q_event_asof,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -866,6 +872,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rk <= 5
+        """,
+        "token_length_quantiles": f"""
+            SELECT 0.25 AS quantile,
+                   round(quantile_cont(len({_sql_words()})::DOUBLE, 0.25), 6)
+                       AS n_tokens_q FROM documents
+            UNION ALL
+            SELECT 0.5, round(quantile_cont(len({_sql_words()})::DOUBLE, 0.5), 6)
+            FROM documents
+            UNION ALL
+            SELECT 0.75, round(quantile_cont(len({_sql_words()})::DOUBLE, 0.75), 6)
+            FROM documents
+            UNION ALL
+            SELECT 0.9, round(quantile_cont(len({_sql_words()})::DOUBLE, 0.9), 6)
+            FROM documents
         """,
         "token_histogram": f"""
             SELECT floor(len({_sql_words()}) / 20)::BIGINT AS token_bucket,

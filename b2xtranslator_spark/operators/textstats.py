@@ -220,3 +220,28 @@ def stratified_sample(
         .where(F.col("rk") <= per_source)
         .select("doc_id", "source", F.col("rk").alias("sample_rank"))
     )
+
+
+def token_length_quantiles(
+    documents: DataFrame, qs: tuple = (0.25, 0.5, 0.75, 0.9)
+) -> DataFrame:
+    """Exact corpus-size quantiles of per-document token counts, one row per
+    quantile — the distribution check run before/after every length filter.
+
+    Exact percentile is a full sort-based aggregate; at corpus scale the
+    approx_percentile sketch (t-digest, fixed memory, mergeable) is the
+    default and this exact form is the oracle-checkable spec. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the same linear
+    interpolation, so values match bit-for-bit after rounding."""
+    n_tokens = F.size(_words()).cast("double")
+    aggs = [
+        F.round(F.percentile(n_tokens, F.lit(q)), 6).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    wide = documents.agg(*aggs)
+    stacked = ", ".join(
+        f"{q}D, q{int(q * 100)}" for q in qs
+    )
+    return wide.selectExpr(
+        f"stack({len(qs)}, {stacked}) as (quantile, n_tokens_q)"
+    )
