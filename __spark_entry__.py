@@ -57,6 +57,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     token_histogram,
     token_length_quantiles,
     top_tokens,
+    top_tokens_sketch,
     winnowing_fingerprints,
 )
 from b2xtranslator_spark.pipeline import run_extraction  # noqa: E402
@@ -326,6 +327,10 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_table(spark, sf_dir, "documents"), per_source=5)
 
 
+def _q_top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_tokens_sketch(_table(spark, sf_dir, "documents"), k=20)
+
+
 def _q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(_table(spark, sf_dir, "documents"))
 
@@ -438,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": _q_sample,
         "stratified_sample": _q_stratified_sample,
         "top_tokens": _q_top_tokens,
+        "top_tokens_sketch": _q_top_tokens_sketch,
         "token_histogram": _q_token_histogram,
         "token_length_quantiles": _q_token_quantiles,
         "docs_by_source": _q_docs_by_source,
@@ -852,6 +858,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE substring(md5({norm}), 1, 2) < '28'
+        """,
+        "top_tokens_sketch": f"""
+            WITH tokf AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest({_sql_words()}) AS w FROM documents
+                ) WHERE length(w) >= 3
+            ),
+            cms AS (
+                SELECT d,
+                       {_sql_h60("(2000+d) || '|' || w")} % 1024 AS b,
+                       count(*) AS n
+                FROM tokf, (SELECT unnest(generate_series(0, 3)) AS d)
+                GROUP BY 1, 2
+            ),
+            cands AS (
+                SELECT DISTINCT sw.w AS w FROM (
+                    SELECT unnest(list_slice(list_sort(list_transform(
+                        list_distinct(wf),
+                        t -> {{'negc': -len(list_filter(wf, x -> x = t)),
+                              'w': t}})), 1, 3)) AS sw
+                    FROM (
+                        SELECT list_filter({_sql_words()},
+                                           x -> length(x) >= 3) AS wf
+                        FROM documents
+                    )
+                )
+            ),
+            cb AS (
+                SELECT w, d, {_sql_h60("(2000+d) || '|' || w")} % 1024 AS b
+                FROM cands, (SELECT unnest(generate_series(0, 3)) AS d)
+            )
+            SELECT cb.w, min(n) AS est
+            FROM cb JOIN cms USING (d, b)
+            GROUP BY cb.w
+            ORDER BY est DESC, w ASC
+            LIMIT 20
         """,
         "top_tokens": f"""
             SELECT w, count(*) AS n

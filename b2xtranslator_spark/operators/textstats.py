@@ -245,3 +245,86 @@ def token_length_quantiles(
     return wide.selectExpr(
         f"stack({len(qs)}, {stacked}) as (quantile, n_tokens_q)"
     )
+
+
+def top_tokens_sketch(
+    documents: DataFrame,
+    k: int = 20,
+    min_len: int = 3,
+    width: int = 1024,
+    depth: int = 4,
+    per_doc_k: int = 3,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch — the corpus-scale variant of
+    top_tokens (cf. 'Sketching Linear Classifiers over Data Streams',
+    SIGMOD'18, and the classic Cormode-Muthukrishnan CMS): instead of
+    exactly counting EVERY distinct token (a vocabulary-sized shuffle), the
+    sketch aggregates depth x width bucket counters, so the shuffle carries
+    at most depth*width distinct keys no matter how large the vocabulary —
+    map-side partial agg compresses each task's output to the sketch size.
+
+    Candidates come from each DOCUMENT's top ``per_doc_k`` tokens (a
+    globally heavy token is locally frequent in many documents), which
+    keeps candidate generation deterministic — unlike per-PARTITION heavy
+    hitters, whose output depends on data placement. Estimates are the CMS
+    min-over-rows and OVERCOUNT on collisions by design; ranking uses
+    (estimate desc, token asc).
+
+    Every hash is the md5-60bit family, so sketch contents, candidates and
+    estimates are reproducible bit-for-bit in portable SQL — a sketch
+    operator with an exact oracle.
+
+    Shuffle accounting: the CMS aggregation's key space is depth*width no
+    matter the vocabulary (map-side partial agg compresses every task to
+    the sketch size), and candidate generation is ROW-LOCAL — a document's
+    tokens live inside its own row, so its top-per_doc_k is computed with
+    array ops in the projection, no (doc_id, token) shuffle; only the
+    (small) distinct candidate set and the k-row result move."""
+    from .dedup import _seeded_hash60
+
+    words = F.split(F.lower(F.col("text")), " ")
+    tok = documents.select(F.explode(words).alias("w")).where(
+        F.length("w") >= min_len
+    )
+
+    bucket_cols = [
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(_seeded_hash60(F.col("w"), 2000 + d), F.lit(width)).alias("b"),
+        )
+        for d in range(depth)
+    ]
+    cms = (
+        tok.select(F.explode(F.array(*bucket_cols)).alias("db"))
+        .select("db.d", "db.b")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # row-local per-doc top tokens: count occurrences of each distinct
+    # token within the row's own array, order by (count desc, token asc)
+    # via a (-count, token) struct sort, slice the top per_doc_k
+    wf = F.filter(words, lambda x: F.length(x) >= min_len)
+    per_tok = F.transform(
+        F.array_distinct(wf),
+        lambda t: F.struct(
+            (-F.size(F.filter(wf, lambda x: x == t))).alias("negc"),
+            t.alias("w"),
+        ),
+    )
+    top_local = F.slice(F.array_sort(per_tok), 1, per_doc_k)
+    candidates = (
+        documents.select(F.explode(top_local).alias("s"))
+        .select("s.w")
+        .distinct()
+    )
+    cand_buckets = candidates.select(
+        "w", F.explode(F.array(*bucket_cols)).alias("db")
+    ).select("w", "db.d", "db.b")
+    return (
+        cand_buckets.join(cms, ["d", "b"])
+        .groupBy("w")
+        .agg(F.min("n").alias("est"))
+        .orderBy(F.desc("est"), F.asc("w"))
+        .limit(k)
+    )

@@ -329,3 +329,17 @@ def test_dedup_pipeline_keep_drop_decisions(docs, spark):
         assert bool(by_doc.loc[by_doc.loc[i, "cluster_id"], "keep"])
     # survivors + dropped = corpus; each cluster keeps exactly one doc
     assert out["keep"].sum() == out["cluster_id"].nunique()
+
+
+def test_top_tokens_sketch_dominates_exact_counts(docs, spark):
+    """Count-min sketch invariants: every estimate >= the token's true
+    count (CMS never undercounts), and the sketch's top set recovers the
+    exact heavy hitters (Zipf head is locally frequent per doc)."""
+    from b2xtranslator_spark.operators.textstats import top_tokens, top_tokens_sketch
+
+    exact = {r["w"]: r["n"] for r in top_tokens(docs, k=10).collect()}
+    sketch = {r["w"]: r["est"] for r in top_tokens_sketch(docs, k=30).collect()}
+    hits = set(exact) & set(sketch)
+    assert len(hits) >= 8, f"sketch missed heavy hitters: {set(exact) - set(sketch)}"
+    for w in hits:
+        assert sketch[w] >= exact[w], (w, sketch[w], exact[w])
