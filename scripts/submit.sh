@@ -22,5 +22,9 @@ with zipfile.ZipFile("/tmp/b2xtranslator_spark.zip", "w") as z:
 PY
 
 SPARK_SUBMIT=${SPARK_SUBMIT:-spark-submit}
-exec "$SPARK_SUBMIT" ${SPARK_SUBMIT_ARGS:---master 'local[8]'} \
+# Local default needs a real driver heap: in local mode the driver IS the
+# executor, and spark-submit's 1g default OOMs on payload-sized corpora
+# (caught by driving this script end-to-end in round 3). Cluster runs
+# override the whole string via SPARK_SUBMIT_ARGS.
+exec "$SPARK_SUBMIT" ${SPARK_SUBMIT_ARGS:---master 'local[8]' --driver-memory 12g} \
     --py-files "$ZIP" scripts/job.py "$@"
