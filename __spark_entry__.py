@@ -357,6 +357,14 @@ def _q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_event_asof(_table(spark, sf_dir, "events"), marker_type="click")
 
 
+def _q_event_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from b2xtranslator_spark.operators.asof import last_event_asof_tolerance
+
+    return last_event_asof_tolerance(
+        _table(spark, sf_dir, "events"), marker_type="click", tolerance_s=600
+    )
+
+
 def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -448,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_quantiles": _q_token_quantiles,
         "docs_by_source": _q_docs_by_source,
         "event_asof_join": _q_event_asof,
+        "event_asof_tolerance": _q_event_asof_tolerance,
         "latest_event_per_user": _q_latest_event_per_user,
         "revenue_by_region": _q_revenue_by_region,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -952,6 +961,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "event_asof_tolerance": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN epoch(ts) - epoch(m_ts) <= 600 THEN m_ts END
+                       AS asof_marker_ts,
+                   CASE WHEN epoch(ts) - epoch(m_ts) <= 600 THEN m_id END
+                       AS asof_marker_event_id
+            FROM (
+                SELECT event_id, user_id, event_type, ts,
+                       last_value(CASE WHEN event_type = 'click' THEN ts END
+                                  IGNORE NULLS) OVER w AS m_ts,
+                       last_value(CASE WHEN event_type = 'click' THEN event_id END
+                                  IGNORE NULLS) OVER w AS m_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value

@@ -42,3 +42,40 @@ def last_event_asof(
         .over(w)
         .alias("asof_marker_event_id"),
     )
+
+
+def last_event_asof_tolerance(
+    events: DataFrame,
+    marker_type: str = "click",
+    tolerance_s: int = 3600,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Tolerance-bounded as-of: the most recent prior marker, but only if it
+    happened within ``tolerance_s`` seconds — older markers yield NULL (the
+    pandas merge_asof ``tolerance=`` semantics, the common form for session
+    attribution: 'the click that led here, unless it was hours ago').
+
+    Same single-shuffle forward-fill plan as last_event_asof; the tolerance
+    is a post-window conditional on the SAME matched row (never a second
+    scan or range join)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_marker = F.col("event_type") == marker_type
+    marker_ts = F.last(F.when(is_marker, F.col(ts)), ignorenulls=True).over(w)
+    marker_id = F.last(
+        F.when(is_marker, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    in_tol = (
+        F.unix_timestamp(F.col(ts)) - F.unix_timestamp(marker_ts)
+    ) <= tolerance_s
+    return events.select(
+        "event_id",
+        key,
+        "event_type",
+        F.when(in_tol, marker_ts).alias("asof_marker_ts"),
+        F.when(in_tol, marker_id).alias("asof_marker_event_id"),
+    )
