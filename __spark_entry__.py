@@ -42,6 +42,7 @@ from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
 from b2xtranslator_spark.operators.similarity import (  # noqa: E402
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_dedup_pipeline,
     embedding_near_duplicates_fast,
     embedding_near_duplicates_lsh,
     ivf_topk,
@@ -266,6 +267,12 @@ def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dedup_pipeline(
+        _table(spark, sf_dir, "embeddings"), threshold=0.35, max_vecs=400
+    )
+
+
 # -- oracle-checkable queries -----------------------------------------------------
 
 
@@ -442,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embed_neardup,
         "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
         "dedup_embedding_lsh": _q_embed_neardup_lsh,
+        "dedup_embedding_pipeline": _q_embed_dedup_pipeline,
         "similarity_topk_bruteforce": _q_similarity_topk,
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
@@ -755,6 +763,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 400 AND b.vec_id < 400 AND a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "dedup_embedding_pipeline": """
+            WITH RECURSIVE vpairs AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 400 AND b.vec_id < 400 AND a.vec_id < b.vec_id
+                  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]), 6)
+                      >= 0.35
+            ),
+            edges AS (
+                SELECT va AS a, vb AS b FROM vpairs
+                UNION
+                SELECT vb AS a, va AS b FROM vpairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            nodes AS (SELECT vec_id FROM embeddings WHERE vec_id < 400)
+            SELECT n.vec_id,
+                   least(n.vec_id, coalesce(min(r.b), n.vec_id)) AS cluster_id,
+                   n.vec_id = least(n.vec_id, coalesce(min(r.b), n.vec_id))
+                       AS keep
+            FROM nodes n LEFT JOIN reach r ON r.a = n.vec_id
+            GROUP BY n.vec_id
         """,
         "dedup_simhash": f"""
             WITH {_sql_simhash_cte(300)}

@@ -410,3 +410,36 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_dedup_pipeline(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    max_vecs: int | None = 400,
+    bands: int = 20,
+    planes_per_band: int = 2,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """End-to-end embedding dedup decision: banded sign-LSH candidates ->
+    exact-cosine verify -> connected components -> per-vector keep/drop
+    (keep = the vector IS its cluster's min vec_id). The embedding mirror
+    of dedup.dedup_pipeline — one dataflow from raw vectors to the
+    keep-list a training-data pipeline applies."""
+    from .dedup import connected_components
+
+    vecs = embeddings
+    if max_vecs is not None:
+        vecs = vecs.where(F.col("vec_id") < max_vecs)
+    pairs = embedding_near_duplicates_lsh(
+        embeddings, threshold, max_vecs, bands, planes_per_band, max_bucket_size
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = connected_components(
+        pairs, nodes=vecs.select(F.col("vec_id").alias("doc_id"))
+    )
+    return clusters.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
