@@ -20,9 +20,12 @@ def is_wav(data: bytes) -> bool:
 
 
 def encode_wav(
-    samples: np.ndarray, sample_rate: int = 16000, channels: int = 1
+    samples: np.ndarray, sample_rate: int = 16000, channels: int | None = None
 ) -> bytes:
-    """float samples in [-1, 1] (n,) or (n, channels) -> 16-bit PCM WAV."""
+    """float samples in [-1, 1] (n,) or (n, channels) -> 16-bit PCM WAV.
+    Channel count is derived from the array shape; pass ``channels`` only
+    to override (a mismatch would write a wrong header over interleaved
+    frames)."""
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]

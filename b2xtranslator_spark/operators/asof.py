@@ -69,9 +69,15 @@ def last_event_asof_tolerance(
     marker_id = F.last(
         F.when(is_marker, F.col("event_id")), ignorenulls=True
     ).over(w)
-    in_tol = (
-        F.unix_timestamp(F.col(ts)) - F.unix_timestamp(marker_ts)
-    ) <= tolerance_s
+    # the double cast keeps sub-second precision; unix_timestamp would
+    # truncate to whole seconds and disagree with fractional epoch()
+    # arithmetic (and merge_asof semantics) on gaps within 1s of the bound.
+    # NTZ needs the intermediate timestamp cast; the session-tz shift it
+    # introduces is identical on both sides and cancels in the difference.
+    def _secs(c):
+        return c.cast("timestamp").cast("double")
+
+    in_tol = (_secs(F.col(ts)) - _secs(marker_ts)) <= tolerance_s
     return events.select(
         "event_id",
         key,

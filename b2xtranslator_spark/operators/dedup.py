@@ -197,37 +197,12 @@ def simhash_candidate_pairs(
     (the n^2 skew guard; see operators.skew) — the pigeonhole recall
     guarantee then holds only for pairs whose shared band survived the cap,
     so report dropped buckets via bucket_skew_stats."""
-    from .skew import cap_bucket_size
+    from .banding import banded_hamming_pairs
 
     sig = simhash(documents, bits)
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keyed = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    keyed = cap_bucket_size(keyed, ["band", "key"], max_bucket_size)
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
-        "band", "key",
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
-        "band", "key",
-    )
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+    return banded_hamming_pairs(
+        sig, "doc_id", "simhash", bits, bands, max_hamming,
+        max_bucket_size, out_prefix="doc",
     )
 
 
@@ -358,11 +333,16 @@ def connected_components(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize the edge list ONCE: its lineage is the whole upstream
+    # candidate/verify dataflow, and every propagation round would otherwise
+    # re-execute it from the scan up
+    edges = edges.localCheckpoint(eager=True)
     if nodes is not None:
         labels = nodes.select(F.col("doc_id").alias("node"))
     else:
         labels = edges.select(F.col("src").alias("node"))
     labels = labels.distinct().withColumn("lbl", F.col("node"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -378,12 +358,21 @@ def connected_components(
                 ),
                 "lbl",
             )
-        )
+        ).localCheckpoint(eager=True)  # one execution; `changed` reads the result
         changed = new_labels.where(F.col("new_lbl") != F.col("lbl")).limit(1).count()
         labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
-        labels = labels.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would hand out cluster_ids whose
+        # "keeper" is itself not a keeper (min within max_iter hops, not the
+        # component min) and diverge from the transitive-closure oracle
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (cluster diameter exceeds it) or switch to the "
+            "large-star/small-star O(log d) variant"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -355,40 +355,16 @@ def image_near_duplicates(
     any pair within ``bands - 1`` Hamming distance shares at least one
     identical band, so 8 bands give 100% recall for hamming <= 7; exact
     popcount verifies. Shuffle is O(images x bands), skew-guarded, never
-    all-pairs."""
+    all-pairs (the shared construction in operators/banding.py — the same
+    pigeonhole join the text SimHash pairs use)."""
     from pyspark.sql import functions as F
 
-    from .skew import cap_bucket_size
+    from .banding import banded_hamming_pairs
 
     sig = image_dhash(media).where(F.col("status") == "ok")
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright("dhash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keyed = sig.select(
-        "media_id", "dhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("media_id", "dhash", "bk.band", "bk.key")
-    keyed = cap_bucket_size(keyed, ["band", "key"], max_bucket_size)
-    a = keyed.select(
-        F.col("media_id").alias("media_a"), F.col("dhash").alias("ha"),
-        "band", "key",
-    )
-    b = keyed.select(
-        F.col("media_id").alias("media_b"), F.col("dhash").alias("hb"),
-        "band", "key",
-    )
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("media_a") < F.col("media_b"))
-        .dropDuplicates(["media_a", "media_b"])
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "hamming")
+    return banded_hamming_pairs(
+        sig, "media_id", "dhash", bits, bands, max_hamming,
+        max_bucket_size, out_prefix="media",
     )
 
 

@@ -124,6 +124,20 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             (0, 0, len(passthrough), 0, 0),
         )
 
+    # the oversize gate is a pure len() check — it must run BEFORE the cache
+    # key (an md5 over the full source) so repeated oversize rows never pay
+    # a multi-hundred-MB hash for a result that is never cached
+    encoded_len = len(src) - len(PAYLOAD_PREFIX)
+    if encoded_len // 4 * 3 > _MAX_PAYLOAD_BYTES:
+        return (
+            "",
+            [],
+            "oversize",
+            f"payload ~{encoded_len // 4 * 3} bytes exceeds "
+            f"B2X_MAX_PAYLOAD_BYTES={_MAX_PAYLOAD_BYTES}",
+            (0, 0, 0, 1, 0),
+        )
+
     key = None
     if _DECODE_CACHE_MAX > 0:
         if _DECODE_CACHE is None:
@@ -139,17 +153,6 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
         if hit is not None:
             _DECODE_CACHE.move_to_end(key)
             return hit
-
-    encoded_len = len(src) - len(PAYLOAD_PREFIX)
-    if encoded_len // 4 * 3 > _MAX_PAYLOAD_BYTES:
-        return (
-            "",
-            [],
-            "oversize",
-            f"payload ~{encoded_len // 4 * 3} bytes exceeds "
-            f"B2X_MAX_PAYLOAD_BYTES={_MAX_PAYLOAD_BYTES}",
-            (0, 0, 0, 1, 0),
-        )
     try:
         payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])
     except Exception as exc:  # malformed base64 is a row error, not a task error
@@ -362,14 +365,20 @@ def run_with_checkpoints(
     done: set[int] = set()
     try:
         ckpt = spark.read.parquet(ckpt_path)
+        # group numbers are only meaningful under the SAME n_groups: resuming
+        # run_id with a different group count must re-run everything (the
+        # staging dir is likewise keyed by n_groups), otherwise rows hashed
+        # into a "done-numbered" group of the new partitioning are skipped
         done = {
             r["partition_id"]
             for r in ckpt.where(
-                (F.col("run_id") == run_id) & (F.col("state") == "done")
+                (F.col("run_id") == run_id)
+                & (F.col("state") == "done")
+                & (F.col("n_groups") == n_groups)
             ).collect()
         }
     except Exception:
-        pass  # first run: no checkpoint table yet
+        pass  # first run: no checkpoint table yet (or pre-n_groups schema)
 
     group_col = F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
     # The staging directory is keyed by n_groups: resuming with a different
@@ -420,6 +429,7 @@ def run_with_checkpoints(
                 run_id,
                 group,
                 group,
+                n_groups,
                 "done",
                 int(agg["docs_parsed"] or 0),
                 int(agg["records_decoded"] or 0),
@@ -429,8 +439,9 @@ def run_with_checkpoints(
         ]
         spark.createDataFrame(
             row,
-            "run_id string, partition_id int, conv_bucket int, state string, "
-            "docs_parsed long, records_decoded long, failures long, ts long",
+            "run_id string, partition_id int, conv_bucket int, n_groups int, "
+            "state string, docs_parsed long, records_decoded long, "
+            "failures long, ts long",
         ).coalesce(1).write.mode("append").parquet(ckpt_path)
         processed += 1
         stats["groups_run"] += 1

@@ -343,3 +343,29 @@ def test_top_tokens_sketch_dominates_exact_counts(docs, spark):
     assert len(hits) >= 8, f"sketch missed heavy hitters: {set(exact) - set(sketch)}"
     for w in hits:
         assert sketch[w] >= exact[w], (w, sketch[w], exact[w])
+
+
+def test_asof_tolerance_subsecond_boundary(spark):
+    """Review finding (r3): the tolerance must use fractional seconds — a
+    gap of 600.8s with tolerance 600 is OUT even though whole-second
+    truncation would call it 600."""
+    import datetime
+
+    from b2xtranslator_spark.operators.asof import last_event_asof_tolerance
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0, 100000)  # .1s
+    rows = [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + datetime.timedelta(seconds=600, microseconds=800000), 1, "view", 0.0),
+        (3, t0 + datetime.timedelta(seconds=599, microseconds=500000), 2, "view", 0.0),
+        (4, t0, 2, "click", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["event_id"]: r["asof_marker_event_id"]
+        for r in last_event_asof_tolerance(events, "click", tolerance_s=600).collect()
+    }
+    assert out[2] is None  # 600.8s > 600: truncation would wrongly attribute
+    assert out[3] == 4     # 599.5s <= 600: attributed

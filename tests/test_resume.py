@@ -134,3 +134,19 @@ def test_group_selection_prunes_staged_partitions(
 
     assert glob.glob(f"{out}/_staged_g{N_GROUPS}/grp=1/*.parquet")
     assert len(glob.glob(f"{out}/_staged_g{N_GROUPS}/grp=*")) == N_GROUPS
+
+
+def test_resume_with_different_n_groups_reruns_everything(
+    spark, transcripts_path, tmp_path_factory
+):
+    """Review finding (r3): group numbers are meaningless across different
+    n_groups — resuming the same run_id with a new group count must re-run
+    all groups, never skip 'done-numbered' groups of the old partitioning."""
+    out = str(tmp_path_factory.mktemp("out_regroup"))
+    s1 = run_with_checkpoints(spark, transcripts_path, out, run_id="rg", n_groups=2)
+    assert s1 == {"groups_run": 2, "groups_skipped": 0}
+    s2 = run_with_checkpoints(spark, transcripts_path, out, run_id="rg", n_groups=4)
+    assert s2["groups_skipped"] == 0 and s2["groups_run"] == 4
+    # and the original partitioning still resumes as fully done
+    s3 = run_with_checkpoints(spark, transcripts_path, out, run_id="rg", n_groups=2)
+    assert s3 == {"groups_run": 0, "groups_skipped": 2}
