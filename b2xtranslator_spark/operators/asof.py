@@ -69,15 +69,15 @@ def last_event_asof_tolerance(
     marker_id = F.last(
         F.when(is_marker, F.col("event_id")), ignorenulls=True
     ).over(w)
-    # the double cast keeps sub-second precision; unix_timestamp would
-    # truncate to whole seconds and disagree with fractional epoch()
-    # arithmetic (and merge_asof semantics) on gaps within 1s of the bound.
-    # NTZ needs the intermediate timestamp cast; the session-tz shift it
-    # introduces is identical on both sides and cancels in the difference.
-    def _secs(c):
-        return c.cast("timestamp").cast("double")
-
-    in_tol = (_secs(F.col(ts)) - _secs(marker_ts)) <= tolerance_s
+    # Interval comparison, not epoch subtraction: adding a day-time INTERVAL
+    # to TIMESTAMP adds physical seconds and to TIMESTAMP_NTZ adds wall-clock
+    # seconds — each exactly merge_asof's tolerance semantics for that type.
+    # A cast-to-timestamp epoch diff would shift NTZ values by the session
+    # tz, which does NOT cancel across a DST boundary (off by ±3600s).
+    # Sub-second precision is preserved (no unix_timestamp truncation).
+    in_tol = F.col(ts) <= marker_ts + F.expr(
+        f"INTERVAL {int(tolerance_s)} SECOND"
+    )
     return events.select(
         "event_id",
         key,

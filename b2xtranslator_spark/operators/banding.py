@@ -30,12 +30,22 @@ def banded_hamming_pairs(
     with hamming <= max_hamming. Recall is complete while
     max_hamming <= bands - 1 and no band bucket exceeded the skew cap
     (dropped buckets are observable via skew.bucket_skew_stats)."""
+    if not 1 <= bands <= bits:
+        raise ValueError(f"bands must be in [1, bits={bits}], got {bands}")
     width = bits // bands
-    mask = (1 << width) - 1
+    # the last band absorbs bits % bands so every signature bit is covered —
+    # otherwise two hashes differing only in the top remainder bits would
+    # never become candidates and the pigeonhole recall guarantee would
+    # silently break for bits not divisible by bands.
+    last_width = bits - (bands - 1) * width
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(hash_col, b * width).bitwiseAND(F.lit(mask)).alias("key"),
+            F.shiftright(hash_col, b * width)
+            .bitwiseAND(
+                F.lit((1 << (last_width if b == bands - 1 else width)) - 1)
+            )
+            .alias("key"),
         )
         for b in range(bands)
     ]

@@ -327,7 +327,8 @@ def connected_components(
 
     ``nodes`` (a frame with doc_id) widens the output to singleton docs
     (cluster_id = own doc_id); omitted, only docs appearing in pairs are
-    labeled. Oracle: a recursive transitive-closure CTE computes the same
+    labeled. Pair endpoints are always labeled, even if absent from a
+    narrower ``nodes`` frame (output covers nodes UNION endpoints). Oracle: a recursive transitive-closure CTE computes the same
     min-reachable label in portable SQL."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = e.unionByName(
@@ -337,11 +338,15 @@ def connected_components(
     # candidate/verify dataflow, and every propagation round would otherwise
     # re-execute it from the scan up
     edges = edges.localCheckpoint(eager=True)
-    if nodes is not None:
-        labels = nodes.select(F.col("doc_id").alias("node"))
-    else:
-        labels = edges.select(F.col("src").alias("node"))
-    labels = labels.distinct().withColumn("lbl", F.col("node"))
+    # Propagate ONLY over edge endpoints: a singleton node can never change
+    # label, so carrying the full corpus through every round would join and
+    # checkpoint O(corpus) rows x max_iter for work proportional to the
+    # (typically tiny) duplicate-pair endpoint set. Singletons from `nodes`
+    # are unioned back once at the end. This also guarantees endpoint nodes
+    # missing from a narrower `nodes` frame still propagate (a severed path
+    # would silently split clusters).
+    endpoints = edges.select(F.col("src").alias("node")).distinct()
+    labels = endpoints.withColumn("lbl", F.col("node"))
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -373,6 +378,14 @@ def connected_components(
             "raise max_iter (cluster diameter exceeds it) or switch to the "
             "large-star/small-star O(log d) variant"
         )
+    if nodes is not None:
+        singletons = (
+            nodes.select(F.col("doc_id").alias("node"))
+            .distinct()
+            .join(endpoints, "node", "left_anti")
+            .withColumn("lbl", F.col("node"))
+        )
+        labels = labels.unionByName(singletons)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -265,9 +265,10 @@ def embedding_near_duplicates_fast(
     ADVICE r01/r02).
 
     The dense n x n similarity matrix is O(bucket^2) memory, so the skew
-    guard is mandatory here: buckets over ``max_bucket_size`` are skipped
-    inside the kernel (no n x n allocation ever happens) — report them via
-    bucket_skew_stats."""
+    guard is mandatory here: buckets over ``max_bucket_size`` are dropped
+    pre-shuffle via cap_bucket_size (so no oversized group is ever
+    materialized as a pandas frame, let alone an n x n allocation) — report
+    them via bucket_skew_stats."""
     import numpy as np
     import pandas as pd
 
@@ -275,11 +276,16 @@ def embedding_near_duplicates_fast(
     if max_vecs is not None:
         vecs = vecs.where(F.col("vec_id") < max_vecs)
     bb = lsh_band_buckets(vecs, bands, planes_per_band)
+    # drop hot buckets BEFORE the group shuffle: applyInPandas materializes
+    # each group as one in-memory pandas frame, so a degenerate bucket of
+    # vectors would OOM the Python worker before the kernel's own size check
+    # ever ran (the window-count guard spills JVM-side instead)
+    bb = cap_bucket_size(bb, ["band", "bucket"], max_bucket_size)
 
     empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > max_bucket_size:  # degenerate hot bucket: skip, never n^2
+        if len(pdf) > max_bucket_size:  # defense-in-depth; capped upstream
             return empty
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)

@@ -25,6 +25,18 @@ def _words(col: str = "text"):
     return F.split(F.lower(F.col(col)), " ")
 
 
+def _norm(col: str = "text"):
+    """Whitespace-collapsed lowercased text — the shared normalization whose
+    exact form every oracle mirror depends on (same as dedup._norm_text)."""
+    return F.regexp_replace(F.lower(F.col(col)), "\\s+", " ")
+
+
+def _content_md5(col: str = "text"):
+    """md5 of the normalized content — the engine-portable fingerprint used
+    by sampling, stratification and fingerprinting alike."""
+    return F.md5(F.encode(_norm(col), "UTF-8"))
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic)."""
     return documents.select(
@@ -99,8 +111,7 @@ def deterministic_sample(documents: DataFrame, hex_ceiling: str = "28") -> DataF
     prefix falls under a ceiling (~16% for '28'). The standard trick for
     reproducible corpus subsets that is identical on any engine with md5 —
     unlike rand(seed), which is engine-specific."""
-    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
-    fp = F.md5(F.encode(normalized, "UTF-8"))
+    fp = _content_md5()
     return documents.where(F.substring(fp, 1, 2) < F.lit(hex_ceiling)).select(
         "doc_id", "source", "n_chars"
     )
@@ -121,10 +132,7 @@ def token_histogram(documents: DataFrame, bucket_width: int = 20) -> DataFrame:
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercased text
     (md5 is bit-identical across Spark and DuckDB, unlike xxhash64)."""
-    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
-    return documents.select(
-        "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fp")
-    )
+    return documents.select("doc_id", _content_md5().alias("fp"))
 
 
 def winnowing_fingerprints(
@@ -152,7 +160,7 @@ def winnowing_fingerprints(
     docs = documents
     if max_docs is not None:
         docs = docs.where(F.col("doc_id") < max_docs)
-    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    norm = _norm()
     starts = F.sequence(
         F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
     )
@@ -187,7 +195,7 @@ def top_tokens(documents: DataFrame, k: int = 20, min_len: int = 3) -> DataFrame
     itself a big shuffle (vocabulary-sized); if only the heavy tail matters,
     the sketch path (count-min + heap per partition) trades exactness for a
     fixed-size merge — this exact form is the oracle-checkable baseline."""
-    words = F.split(F.lower(F.col("text")), " ")
+    words = _words()
     tok = documents.select(F.explode(words).alias("w")).where(
         F.length("w") >= min_len
     )
@@ -212,8 +220,7 @@ def stratified_sample(
     per-stratum cheap; the md5 tiebreak on doc_id makes the draw total."""
     from pyspark.sql.window import Window
 
-    normalized = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
-    fp = F.md5(F.encode(normalized, "UTF-8"))
+    fp = _content_md5()
     w = Window.partitionBy("source").orderBy(fp, F.col("doc_id"))
     return (
         documents.withColumn("rk", F.row_number().over(w))
@@ -232,8 +239,13 @@ def token_length_quantiles(
     approx_percentile sketch (t-digest, fixed memory, mergeable) is the
     default and this exact form is the oracle-checkable spec. Spark's
     `percentile` and DuckDB's `quantile_cont` share the same linear
-    interpolation, so values match bit-for-bit after rounding."""
-    n_tokens = F.size(_words()).cast("double")
+    interpolation, so values match bit-for-bit after rounding. NULL texts
+    contribute NULL (which percentile skips, exactly like quantile_cont) —
+    guarded explicitly because F.size would otherwise yield -1 for them
+    under Spark's legacy sizeOfNull and skew every quantile down."""
+    n_tokens = F.when(
+        F.col("text").isNotNull(), F.size(_words()).cast("double")
+    )
     aggs = [
         F.round(F.percentile(n_tokens, F.lit(q)), 6).alias(f"q{int(q * 100)}")
         for q in qs
@@ -282,7 +294,7 @@ def top_tokens_sketch(
     (small) distinct candidate set and the k-row result move."""
     from .dedup import _seeded_hash60
 
-    words = F.split(F.lower(F.col("text")), " ")
+    words = _words()
     tok = documents.select(F.explode(words).alias("w")).where(
         F.length("w") >= min_len
     )
@@ -301,16 +313,39 @@ def top_tokens_sketch(
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
-    # row-local per-doc top tokens: count occurrences of each distinct
-    # token within the row's own array, order by (count desc, token asc)
-    # via a (-count, token) struct sort, slice the top per_doc_k
+    # row-local per-doc top tokens in O(n log n): sort the row's token
+    # array, find run starts (s[i] != s[i-1]), and read each run's length
+    # as next_start - start — a single run-length pass, NOT the quadratic
+    # per-distinct-token rescan (O(distinct x tokens) dies on one large
+    # document). Rank by (count desc, token asc) via a (-count, token)
+    # struct sort, slice the top per_doc_k.
     wf = F.filter(words, lambda x: F.length(x) >= min_len)
-    per_tok = F.transform(
-        F.array_distinct(wf),
-        lambda t: F.struct(
-            (-F.size(F.filter(wf, lambda x: x == t))).alias("negc"),
-            t.alias("w"),
+    s = F.array_sort(wf)
+    n = F.size(s)
+    # F.get is 0-based and null-safe (element_at throws on index 0 / ANSI
+    # out-of-bounds); get(s, -1) at i=1 yields NULL, and x != NULL is NULL,
+    # so the i==1 disjunct alone admits the first run start
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (i == F.lit(1))
+        | (F.get(s, i - F.lit(1)) != F.get(s, i - F.lit(2))),
+    )
+    # sentinel n+1 closes the last run; zip (start, next_start)
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + F.lit(1)),
+    )
+    per_tok = F.zip_with(
+        starts,
+        nexts,
+        lambda a, b: F.struct(
+            (a - b).alias("negc"), F.get(s, a - F.lit(1)).alias("w")
         ),
+    )
+    # empty token array: sequence(1, greatest(0,1)) would fabricate index 1
+    # pointing at nothing — emit no candidates instead
+    per_tok = F.when(n > F.lit(0), per_tok).otherwise(
+        F.array().cast("array<struct<negc:int,w:string>>")
     )
     top_local = F.slice(F.array_sort(per_tok), 1, per_doc_k)
     candidates = (

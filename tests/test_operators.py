@@ -369,3 +369,110 @@ def test_asof_tolerance_subsecond_boundary(spark):
     }
     assert out[2] is None  # 600.8s > 600: truncation would wrongly attribute
     assert out[3] == 4     # 599.5s <= 600: attributed
+
+
+def test_asof_tolerance_ntz_across_dst(spark):
+    """Review finding (r3): with TIMESTAMP_NTZ columns the tolerance must be
+    pure wall-clock arithmetic (merge_asof semantics). Casting NTZ through
+    the session timezone shifts the two sides by DIFFERENT offsets across a
+    DST boundary (America/New_York springs forward 2026-03-08 02:00), which
+    would shrink a 7200s naive gap to 3600s and wrongly attribute."""
+    import datetime
+
+    from b2xtranslator_spark.operators.asof import last_event_asof_tolerance
+
+    rows = [
+        (1, datetime.datetime(2026, 3, 8, 1, 30, 0), 1, "click", 0.0),
+        (2, datetime.datetime(2026, 3, 8, 3, 30, 0), 1, "view", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out = {
+            r["event_id"]: r["asof_marker_event_id"]
+            for r in last_event_asof_tolerance(
+                events, "click", tolerance_s=3600
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert out[2] is None, "naive gap is 7200s > 3600s; tz-shifted math hides it"
+
+
+def test_banded_hamming_covers_remainder_bits(spark):
+    """Review finding (r3): when bits % bands != 0 the top remainder bits
+    must still be banded — two hashes differing ONLY there are within the
+    pigeonhole guarantee (hamming <= bands-1) and must become a pair."""
+    from b2xtranslator_spark.operators.banding import banded_hamming_pairs
+
+    # bits=64, bands=6 -> width 10, last band must cover bits 60..63
+    a = 0x0123456789ABCDEF
+    b = a ^ (0x7 << 60)  # hamming 3 <= bands-1, all above (bands-1)*width=50
+    sig = spark.createDataFrame([(1, a), (2, b)], "img_id long, h long")
+    pairs = banded_hamming_pairs(
+        sig, "img_id", "h", bits=64, bands=6, max_hamming=5,
+        max_bucket_size=1000, out_prefix="img",
+    ).collect()
+    assert [(r["img_a"], r["img_b"], r["hamming"]) for r in pairs] == [(1, 2, 3)]
+
+    with pytest.raises(ValueError, match="bands"):
+        banded_hamming_pairs(
+            sig, "img_id", "h", bits=64, bands=70, max_hamming=1,
+            max_bucket_size=1000, out_prefix="img",
+        )
+
+
+def test_connected_components_endpoints_missing_from_nodes(spark):
+    """Review finding (r3): a pair endpoint absent from a narrower `nodes`
+    frame must still propagate — dropping it would sever the path and split
+    one component into two clusters (silently keeping both near-dups)."""
+    from b2xtranslator_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 5), (5, 9)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(1,), (9,)], "doc_id long")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert out == {1: 1, 5: 1, 9: 1}
+
+
+def test_token_length_quantiles_ignore_null_text(spark):
+    """Review finding (r3): NULL text must contribute NULL (skipped by
+    percentile, matching DuckDB quantile_cont), never size()'s legacy -1."""
+    from b2xtranslator_spark.operators.textstats import token_length_quantiles
+
+    base = [(i, "w " * (i + 1), "en", "s", 1) for i in range(4)]
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    without_null = spark.createDataFrame(base, schema)
+    with_null = spark.createDataFrame(base + [(99, None, "en", "s", 0)], schema)
+    a = token_length_quantiles(without_null).collect()
+    b = token_length_quantiles(with_null).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_top_tokens_sketch_run_length_edges(spark):
+    """The O(n) run-length candidate pass: repeated tokens count correctly,
+    empty/too-short texts emit no candidates, and a NULL-text row is
+    harmless."""
+    from b2xtranslator_spark.operators.textstats import top_tokens_sketch
+
+    rows = [
+        (1, "foo foo foo bar bar zap", "en", "s", 1),
+        (2, "", "en", "s", 1),
+        (3, "a b c", "en", "s", 1),  # all under min_len
+        (4, None, "en", "s", 1),
+        (5, "bar bar bar bar", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    est = {r["w"]: r["est"] for r in top_tokens_sketch(docs, k=5).collect()}
+    assert est.get("bar", 0) >= 6  # CMS never undercounts: true count 6
+    assert est.get("foo", 0) >= 3
+    assert "a" not in est and "" not in est
