@@ -61,7 +61,10 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     top_tokens_sketch,
     winnowing_fingerprints,
 )
-from b2xtranslator_spark.pipeline import run_extraction  # noqa: E402
+from b2xtranslator_spark.pipeline import (  # noqa: E402
+    MARKUP_PREFIX,
+    run_extraction,
+)
 from b2xtranslator_spark.sources.transcripts import (  # noqa: E402
     load_sample_corpus,
     synthesize_transcripts,
@@ -146,6 +149,56 @@ def _q_extract_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("turns"), F.sum("ok").alias("matched"))
     )
     return joined
+
+
+def _q_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup leg of the north rule, and the one extraction query with a
+    FULL DuckDB oracle: HTML pages are synthesized deterministically from
+    the documents table (escaped text wrapped in content tags plus
+    title/style/nav/footer/script boilerplate), extracted through the real
+    pipeline (markup: payload -> mapInPandas -> formats/markup.py
+    boilerplate strip), and the expected cleaned text is stated
+    INDEPENDENTLY in portable SQL: boilerplate gone, entities decoded back
+    to the original text, whitespace collapsed, h1/p blocks newline-joined.
+    Any extraction drift (a dropped block, an extra newline, un-decoded
+    entity, non-ok status) breaks the value hash."""
+    docs = _table(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit(
+            MARKUP_PREFIX
+            + "<html><head><title>skip</title><style>p{margin:0}</style>"
+            + '</head><body><nav><a href="/">Home</a><a href="/a">About</a>'
+            + "</nav><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit(
+            "</p><footer>(c) 2026 corp</footer><script>track()</script>"
+            + "</body></html>"
+        ),
+    )
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        html.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
 
 
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline (SURVEY.md §2.1-2.12; oracle-less binary decode)
         "extract_transcripts": _q_extract,
         "extract_verify_join": _q_extract_verify,
+        "extract_markup_transcripts": _q_extract_markup,
         "extract_metrics_agg": _q_extract_metrics,
         "media_features": _q_media_features,
         "media_thumbnails": _q_media_thumbnails,
@@ -700,6 +754,23 @@ def oracle_sql() -> dict[str, str]:
         "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END"
     )
     return {
+        # the expected markup extraction, stated independently of the
+        # extractor: title/style/nav/footer/script are boilerplate (gone),
+        # h1 (= source) and p (= text, entity-roundtripped back to the
+        # original) are content blocks joined by one newline, intra-block
+        # whitespace collapses to single spaces (ASCII class, matching the
+        # extractor's collapse exactly), and every row extracts with
+        # status ok
+        "extract_markup_transcripts": """
+            SELECT doc_id,
+                   CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) = ''
+                        THEN source
+                        ELSE source || chr(10) ||
+                             trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
+                   END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,
                    count(*) AS dup_count,

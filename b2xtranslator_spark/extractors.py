@@ -19,6 +19,7 @@ from .budget import (
     set_deadline,
 )
 from .formats import cfb
+from .formats.markup import extract_html_text, looks_like_markup
 from .formats.ppt import extract_ppt_text_parts
 from .formats.word.extract import extract_doc_text_parts, normalize_text
 from .formats.xls import extract_xls_text_parts
@@ -42,6 +43,7 @@ def extract_payload_text(
     payload: bytes,
     extract_urls: bool = True,
     budget_seconds: float = DEFAULT_BUDGET_SECONDS,
+    force_kind: str | None = None,
 ) -> ExtractResult:
     """Extract plain text from one binary document payload.
 
@@ -62,23 +64,37 @@ def extract_payload_text(
         return res
     set_deadline(budget_seconds)
     try:
-        storage = cfb.CompoundFile(payload)  # raises the magic-number error
-        if storage.has_stream("WordDocument"):
-            res.kind = "doc"
-            res.text, spans, records = extract_doc_text_parts(storage, extract_urls)
-            res.metrics["spans"] = spans
-            res.metrics["records_decoded"] = records
-        elif storage.has_stream("Workbook") or storage.has_stream("Book"):
-            res.kind = "xls"
-            res.text, records = extract_xls_text_parts(storage)
-            res.metrics["records_decoded"] = records
-        elif storage.has_stream("PowerPoint Document"):
-            res.kind = "ppt"
-            res.text, records = extract_ppt_text_parts(storage)
-            res.metrics["records_decoded"] = records
+        # format dispatch: an explicitly-declared kind (the pipeline's
+        # `markup:` payload prefix) bypasses the sniff; otherwise markup is
+        # detected by a conservative head probe (looks_like_markup — strict,
+        # so byte-flipped CFB keeps flowing to the CFB error path) and
+        # everything else is treated as a CFB container exactly as before
+        if force_kind == "html" or (
+            force_kind is None and looks_like_markup(payload)
+        ):
+            res.kind = "html"
+            res.text, elements = extract_html_text(payload)
+            res.metrics["records_decoded"] = elements
         else:
-            res.status = "unsupported"
-            res.error = "no recognized document stream in container"
+            storage = cfb.CompoundFile(payload)  # raises the magic-number error
+            if storage.has_stream("WordDocument"):
+                res.kind = "doc"
+                res.text, spans, records = extract_doc_text_parts(
+                    storage, extract_urls
+                )
+                res.metrics["spans"] = spans
+                res.metrics["records_decoded"] = records
+            elif storage.has_stream("Workbook") or storage.has_stream("Book"):
+                res.kind = "xls"
+                res.text, records = extract_xls_text_parts(storage)
+                res.metrics["records_decoded"] = records
+            elif storage.has_stream("PowerPoint Document"):
+                res.kind = "ppt"
+                res.text, records = extract_ppt_text_parts(storage)
+                res.metrics["records_decoded"] = records
+            else:
+                res.status = "unsupported"
+                res.error = "no recognized document stream in container"
     except DocumentTimeout as exc:
         res.status = "timeout"
         res.error = str(exc)

@@ -1,0 +1,276 @@
+"""HTML/markup -> plain-text extraction (main-content pipeline surface).
+
+The north rule's markup leg: transcript payloads carry saved HTML alongside
+the binary Office documents, and the pipeline must strip boilerplate and
+emit the cleaned text. Pure stdlib (html.parser) so the kernel stays a
+vectorized batch over Arrow like the CFB path — no external DOM library.
+
+Text model mirrors the reference's TextWriter event fold
+(/root/reference/Text/TextModel/TextWriter.cs:163-280: w:t content
+accumulates, tc -> tab, tr/p -> newline): inline text accumulates into the
+current block, block-level elements delimit blocks (one newline each),
+table cells join with tabs inside their row's block. Whitespace inside a
+block collapses to single spaces (HTML rendering semantics), except inside
+<pre>.
+
+Boilerplate strip (the "HTML boilerplate strip / DOM heuristics" of the
+north rule) happens at two levels:
+
+- STRUCTURAL: entire subtrees of non-content elements are dropped
+  (script/style/head/title/nav/footer/aside/...), the standard tag-level
+  boilerplate filter.
+- HEURISTIC (optional, ``main_content=True``): blocks whose link density
+  (chars inside <a> / total chars) exceeds a threshold are dropped — the
+  classic link-density rule of boilerpipe/jusText for menus, breadcrumbs
+  and related-article boxes that live inside content-shaped tags.
+
+Deterministic by construction: no charset guessing beyond UTF-8-replace,
+no layout engine, no randomness — the same bytes always yield the same
+text, which is what lets the driver oracle state the expected extraction
+in portable SQL.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from ..budget import check_deadline
+
+__all__ = ["extract_html_text", "looks_like_markup"]
+
+# subtrees that are never content
+_DROP = {
+    "script",
+    "style",
+    "template",
+    "noscript",
+    "head",
+    "title",
+    "meta",
+    "link",
+    "nav",
+    "footer",
+    "aside",
+    "svg",
+    "iframe",
+    "object",
+    "embed",
+    "canvas",
+    "button",
+    "select",
+    "option",
+    "datalist",
+}
+# void elements never push drop depth (no matching end tag arrives)
+_VOID = {"meta", "link", "br", "hr", "img", "input", "area", "base", "wbr"}
+# elements that delimit text blocks (-> newline), mirroring the reference's
+# paragraph/row event fold
+_BLOCK = {
+    "p",
+    "div",
+    "section",
+    "article",
+    "main",
+    "header",
+    "h1",
+    "h2",
+    "h3",
+    "h4",
+    "h5",
+    "h6",
+    "li",
+    "ul",
+    "ol",
+    "dl",
+    "dt",
+    "dd",
+    "table",
+    "thead",
+    "tbody",
+    "tfoot",
+    "caption",
+    "blockquote",
+    "pre",
+    "figure",
+    "figcaption",
+    "address",
+    "form",
+    "fieldset",
+    "details",
+    "summary",
+    "hr",
+    "br",
+}
+
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _collapse(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+class _TextFold(HTMLParser):
+    """Event fold: start/end/data events -> list of (text, link_ratio)
+    blocks. One pass, no DOM tree retained."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, float]] = []
+        self._buf: list[str] = []
+        self._cells: list[str] | None = None  # active table row
+        self._drop = 0
+        self._pre = 0
+        self._link = 0  # <a> nesting depth
+        self._link_chars = 0
+        self._total_chars = 0
+        self.elements = 0  # decode metric (records_decoded analogue)
+        self._data_since_check = 0
+
+    # -- block bookkeeping -------------------------------------------------
+    def _flush(self) -> None:
+        if self._cells is not None:
+            # block boundaries inside a table cell flatten to a space
+            if self._buf and self._buf[-1] != " ":
+                self._buf.append(" ")
+            return
+        raw = "".join(self._buf)
+        self._buf.clear()
+        if self._pre:
+            lines = [ln.rstrip() for ln in raw.split("\n")]
+            for ln in lines:
+                if ln:
+                    self._emit(ln)
+            return
+        text = _collapse(raw)
+        if text:
+            self._emit(text)
+
+    def _emit(self, text: str) -> None:
+        total = max(self._total_chars, 1)
+        self.blocks.append((text, min(self._link_chars / total, 1.0)))
+        self._link_chars = 0
+        self._total_chars = 0
+
+    # -- parser events -----------------------------------------------------
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        self.elements += 1
+        if self.elements % 512 == 0:
+            check_deadline()
+        if tag in _DROP:
+            if tag not in _VOID:
+                self._drop += 1
+            return
+        if self._drop:
+            return
+        if tag == "tr":
+            self._flush()
+            self._cells = []
+            return
+        if tag in ("td", "th"):
+            # stray buffered text before the first cell joins the row
+            return
+        if tag == "a":
+            self._link += 1
+            return
+        if tag == "pre":
+            self._flush()
+            self._pre += 1
+            return
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):  # <br/> etc.
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _DROP:
+            if tag not in _VOID and self._drop:
+                self._drop -= 1
+            return
+        if self._drop:
+            return
+        if tag in ("td", "th"):
+            if self._cells is not None:
+                self._cells.append(_collapse("".join(self._buf)))
+                self._buf.clear()
+            return
+        if tag == "tr":
+            if self._cells is not None:
+                # trailing text outside a cell closes as a final cell
+                tail = _collapse("".join(self._buf))
+                self._buf.clear()
+                cells = self._cells + ([tail] if tail else [])
+                self._cells = None
+                row = "\t".join(cells)
+                if row.strip():
+                    self._emit(row)
+            return
+        if tag == "a":
+            self._link = max(self._link - 1, 0)
+            return
+        if tag == "pre":
+            self._flush()
+            self._pre = max(self._pre - 1, 0)
+            return
+        if tag in _BLOCK:
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        # the deadline must also fire on tag-sparse payloads (one huge text
+        # node sees almost no start-tag events)
+        self._data_since_check += len(data)
+        if self._data_since_check >= 65536:
+            self._data_since_check = 0
+            check_deadline()
+        if self._drop or not data:
+            return
+        self._buf.append(data)
+        n = len(data) - data.count(" ")
+        self._total_chars += n
+        if self._link:
+            self._link_chars += n
+
+    def close(self):  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def extract_html_text(
+    payload: bytes | str,
+    main_content: bool = False,
+    link_density_max: float = 0.5,
+) -> tuple[str, int]:
+    """Extract cleaned plain text from an HTML payload.
+
+    Returns (text, elements_decoded). ``main_content=True`` additionally
+    drops blocks whose link density exceeds ``link_density_max`` — the DOM
+    heuristic for menus/boilerplate that structural tag filtering can't
+    catch. html.parser is tolerant of malformed input and never raises on
+    garbage; the per-document deadline still bounds pathological inputs."""
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", "replace")
+    fold = _TextFold()
+    fold.feed(payload)
+    fold.close()
+    blocks = fold.blocks
+    if main_content:
+        blocks = [b for b in blocks if b[1] <= link_density_max]
+    return "\n".join(b[0] for b in blocks), fold.elements
+
+
+_MARKUP_PREFIXES = ("<!doctype", "<html", "<head", "<body")
+_TAG_START = re.compile(r"<[a-z][a-z0-9-]*[\s>/]")
+
+
+def looks_like_markup(payload: bytes) -> bool:
+    """Conservative markup sniff for the payload dispatcher: an explicit
+    document-level prefix, or a leading element start plus a closing tag in
+    the head of the payload. Strict on purpose — a byte-flipped CFB file
+    must keep flowing to the CFB parser's error path, not be misread as
+    markup (FIXTURES.md hostile-soak contract)."""
+    head = payload[:4096].decode("utf-8", "replace")
+    h = head.lstrip().lower()
+    if h.startswith(_MARKUP_PREFIXES):
+        return True
+    return bool(_TAG_START.match(h)) and "</" in head

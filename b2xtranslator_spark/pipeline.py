@@ -40,6 +40,9 @@ from pyspark.sql.types import (
 )
 
 PAYLOAD_PREFIX = "b64cfb:"
+# raw (non-base64) HTML/markup payloads — the north rule's markup leg;
+# extraction strips boilerplate via formats/markup.py
+MARKUP_PREFIX = "markup:"
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -110,9 +113,14 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
     from .extractors import extract_payload_text  # module-cached after first call
 
     src = None
+    is_markup = False
     for candidate in (text, tool):
         if candidate and candidate.startswith(PAYLOAD_PREFIX):
             src = candidate
+            break
+        if candidate and candidate.startswith(MARKUP_PREFIX):
+            src = candidate
+            is_markup = True
             break
     if src is None:
         passthrough = text or ""
@@ -126,8 +134,11 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
 
     # the oversize gate is a pure len() check — it must run BEFORE the cache
     # key (an md5 over the full source) so repeated oversize rows never pay
-    # a multi-hundred-MB hash for a result that is never cached
+    # a multi-hundred-MB hash for a result that is never cached. Markup is
+    # carried raw (chars ~ bytes); binary payloads are base64 (3/4 ratio).
     encoded_len = len(src) - len(PAYLOAD_PREFIX)
+    if is_markup:
+        encoded_len = (len(src) - len(MARKUP_PREFIX)) * 4 // 3
     if encoded_len // 4 * 3 > _MAX_PAYLOAD_BYTES:
         return (
             "",
@@ -153,11 +164,15 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
         if hit is not None:
             _DECODE_CACHE.move_to_end(key)
             return hit
-    try:
-        payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])
-    except Exception as exc:  # malformed base64 is a row error, not a task error
-        return ("", [], "parse_error", f"base64: {exc}", (0, 0, 0, 1, 0))
-    res = extract_payload_text(payload)
+    if is_markup:
+        payload = src[len(MARKUP_PREFIX) :].encode("utf-8")
+        res = extract_payload_text(payload, force_kind="html")
+    else:
+        try:
+            payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])
+        except Exception as exc:  # malformed base64 is a row error, not a task error
+            return ("", [], "parse_error", f"base64: {exc}", (0, 0, 0, 1, 0))
+        res = extract_payload_text(payload)
     spans = res.metrics.get("spans") or [("main", 0, len(res.text))]
     failures = 0 if res.status in ("ok", "skipped") else 1
     out = (
@@ -219,6 +234,8 @@ def _extract_frames(slices, np) -> Iterator[pd.DataFrame]:
         is_doc = (
             text_s.str.startswith(PAYLOAD_PREFIX, na=False)
             | tool_s.str.startswith(PAYLOAD_PREFIX, na=False)
+            | text_s.str.startswith(MARKUP_PREFIX, na=False)
+            | tool_s.str.startswith(MARKUP_PREFIX, na=False)
         ).to_numpy()
 
         # vectorized passthrough defaults for every row (chat rows keep them)

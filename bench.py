@@ -146,6 +146,7 @@ def main() -> None:
     spec.loader.exec_module(em)
     qs = em.queries()
     for name in (
+        "extract_markup_transcripts",
         "dedup_minhash_lsh",
         "dedup_exact",
         "dedup_embedding_lsh",

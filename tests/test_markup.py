@@ -1,0 +1,174 @@
+"""HTML/markup extraction: expected text declared independently of the
+extractor (same golden-fixture discipline as tests/test_binary_fixtures.py).
+The markup leg of the north rule: boilerplate strip + DOM heuristics over
+transcript payloads carrying saved HTML."""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from b2xtranslator_spark.extractors import extract_payload_text
+from b2xtranslator_spark.formats.markup import extract_html_text, looks_like_markup
+
+FULL_PAGE = """<!DOCTYPE html>
+<html><head><title>SKIP title</title><style>p{}</style><script>var x=1;</script></head>
+<body>
+<nav><a href="/">Home</a><a href="/about">About</a></nav>
+<header>Site header</header>
+<h1>Quarterly report &amp; outlook</h1>
+<p>Revenue grew   12%
+year over year.</p>
+<div>Margins <b>improved</b><i>,</i> too.</div>
+<table><tr><th>region</th><th>rev</th></tr><tr><td>EMEA</td><td>40</td></tr></table>
+<ul><li>cash up</li><li>debt down</li></ul>
+<pre>fixed
+  width</pre>
+<aside>Related links</aside>
+<footer>(c) 2026 corp</footer>
+<script>trailing()</script>
+</body></html>"""
+
+# declared by hand from the rules: head/nav/aside/footer/script/style/title
+# dropped; header/h1/p/div kept; th/td -> tab, tr -> newline; li -> newline;
+# pre preserves inner spacing; entities decoded; whitespace collapsed.
+FULL_PAGE_EXPECTED = (
+    "Site header\n"
+    "Quarterly report & outlook\n"
+    "Revenue grew 12% year over year.\n"
+    "Margins improved, too.\n"
+    "region\trev\n"
+    "EMEA\t40\n"
+    "cash up\n"
+    "debt down\n"
+    "fixed\n"
+    "  width"
+)
+
+
+def test_full_page_golden():
+    text, elements = extract_html_text(FULL_PAGE)
+    assert text == FULL_PAGE_EXPECTED
+    assert elements > 10
+
+
+def test_entities_and_charrefs_decode():
+    text, _ = extract_html_text("<p>a &lt; b &amp;&amp; c &gt; d &#8212; e</p>")
+    assert text == "a < b && c > d — e"
+
+
+def test_link_density_heuristic_drops_menus():
+    html = (
+        "<body><div><a>Products</a> <a>Pricing</a> <a>Docs</a></div>"
+        "<p>Actual article content sentence.</p></body>"
+    )
+    keep_all, _ = extract_html_text(html)
+    main, _ = extract_html_text(html, main_content=True)
+    assert keep_all.splitlines() == [
+        "Products Pricing Docs",
+        "Actual article content sentence.",
+    ]
+    assert main == "Actual article content sentence."
+
+
+def test_malformed_html_never_raises():
+    for payload in (
+        "<p>unclosed <b>tags <div>every<where",
+        "<<<>>>&&&;;;",
+        "</closing></only></tags>",
+        "<script>never closed",
+        "<table><td>stray cell</table>",
+        "",
+        "\x00\x01<p>\x02binary\x03</p>",
+    ):
+        text, _ = extract_html_text(payload)  # must not raise
+        assert isinstance(text, str)
+
+
+def test_unclosed_script_drops_rest():
+    # deterministic contract: an unclosed DROP subtree swallows the tail
+    text, _ = extract_html_text("<p>kept</p><script>var x;<p>lost</p>")
+    assert text == "kept"
+
+
+def test_nested_table_flattens_cells():
+    text, _ = extract_html_text(
+        "<table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>"
+    )
+    assert "outer" in text and "inner" in text
+
+
+def test_looks_like_markup_is_strict():
+    assert looks_like_markup(b"<!DOCTYPE html><html></html>")
+    assert looks_like_markup(b"  <html><body>x</body></html>")
+    assert looks_like_markup(b"<div>hello</div>")
+    # CFB magic, random bytes, plain text, lone angle bracket: all NOT markup
+    assert not looks_like_markup(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    assert not looks_like_markup(b"plain text < with angle")
+    assert not looks_like_markup(b"<3 unclosed heart")
+    assert not looks_like_markup(b"")
+
+
+def test_dispatch_sniffs_html_from_binary_payload_path():
+    """A saved .html carried through the base64 document path (no explicit
+    markup prefix) must dispatch to the HTML extractor, not the CFB error
+    path."""
+    res = extract_payload_text(FULL_PAGE.encode("utf-8"))
+    assert res.status == "ok"
+    assert res.kind == "html"
+    assert res.text == FULL_PAGE_EXPECTED
+
+
+def test_dispatch_force_kind_bypasses_sniff():
+    # a fragment too plain for the sniff still extracts when declared
+    res = extract_payload_text(b"just words, no tags", force_kind="html")
+    assert res.status == "ok" and res.kind == "html"
+    assert res.text == "just words, no tags"
+
+
+def test_timeout_budget_applies_to_markup():
+    big = "<html><body><p>x</p>" + "word " * 200000 + "</body></html>"
+    res = extract_payload_text(big.encode(), budget_seconds=1e-6)
+    assert res.status == "timeout"
+    res2 = extract_payload_text(b"<p>after</p>", force_kind="html")
+    assert res2.status == "ok" and res2.text == "after"
+
+
+@pytest.mark.usefixtures("spark")
+def test_pipeline_markup_prefix_end_to_end(spark):
+    """markup:-prefixed turns extract through run_extraction; chat rows and
+    b64cfb rows are untouched by the new branch."""
+    import datetime
+
+    from b2xtranslator_spark.pipeline import (
+        MARKUP_PREFIX,
+        PAYLOAD_PREFIX,
+        run_extraction,
+    )
+
+    doc_b64 = PAYLOAD_PREFIX + base64.b64encode(
+        open("/root/reference/samples/hyperlink.doc", "rb").read()
+    ).decode()
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "plain chat", None, ts),
+        ("c1", 1, "tool", None, MARKUP_PREFIX + FULL_PAGE, ts),
+        ("c2", 0, "user", MARKUP_PREFIX + "<div>inline</div>", None, ts),
+        ("c2", 1, "user", doc_b64, None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in run_extraction(df).collect()
+    }
+    assert out[("c1", 0)]["status"] == "skipped"
+    assert out[("c1", 1)]["status"] == "ok"
+    assert out[("c1", 1)]["text"] == FULL_PAGE_EXPECTED
+    assert out[("c2", 0)]["status"] == "ok"
+    assert out[("c2", 0)]["text"] == "inline"
+    assert out[("c2", 1)]["status"] == "ok"
