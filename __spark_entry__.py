@@ -201,6 +201,54 @@ def _q_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF leg of the north rule, with an IDENTITY oracle: a one-page PDF is
+    synthesized per document (escaped text as the content stream's literal
+    string, no xref — the extractor's brute object scan is the contract),
+    b64-carried through the binary payload path, and extracted by the real
+    pipeline. PDF literal strings round-trip verbatim, so the expected
+    extraction is simply the original text (sans trailing newlines) — any
+    parser drift in escapes, stream bounds, page walk or dispatch breaks
+    the value hash."""
+    docs = _table(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("("),
+            F.lit("\\("),
+        ),
+        F.lit(")"),
+        F.lit("\\)"),
+    )
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
+            "2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n"
+            "3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 4 0 R>>\nendobj\n"
+            "4 0 obj\n<<>>stream\nBT ("
+        ),
+        esc,
+        F.lit(") Tj ET\nendstream\nendobj\ntrailer<</Root 1 0 R>>\n%%EOF\n"),
+    )
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("b64cfb:"), F.base64(F.encode(pdf, "UTF-8"))).alias(
+            "tool"
+        ),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts, _ = _transcripts(spark, sf_dir)
     extracted = run_extraction(transcripts)
@@ -484,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_transcripts": _q_extract,
         "extract_verify_join": _q_extract_verify,
         "extract_markup_transcripts": _q_extract_markup,
+        "extract_pdf_transcripts": _q_extract_pdf,
         "extract_metrics_agg": _q_extract_metrics,
         "media_features": _q_media_features,
         "media_thumbnails": _q_media_thumbnails,
@@ -768,6 +817,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE source || chr(10) ||
                              trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
                    END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        # PDF identity roundtrip: literal strings carry the text verbatim;
+        # the extractor rstrips trailing newlines at content level
+        "extract_pdf_transcripts": """
+            SELECT doc_id,
+                   rtrim(text, chr(10)) AS extracted,
                    'ok' AS status
             FROM documents
         """,

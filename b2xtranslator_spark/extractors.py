@@ -20,6 +20,7 @@ from .budget import (
 )
 from .formats import cfb
 from .formats.markup import extract_html_text, looks_like_markup
+from .formats.pdf import PDF_MAGIC, extract_pdf_text
 from .formats.ppt import extract_ppt_text_parts
 from .formats.word.extract import extract_doc_text_parts, normalize_text
 from .formats.xls import extract_xls_text_parts
@@ -75,6 +76,10 @@ def extract_payload_text(
             res.kind = "html"
             res.text, elements = extract_html_text(payload)
             res.metrics["records_decoded"] = elements
+        elif payload.startswith(PDF_MAGIC):
+            res.kind = "pdf"
+            res.text, records = extract_pdf_text(payload)
+            res.metrics["records_decoded"] = records
         else:
             storage = cfb.CompoundFile(payload)  # raises the magic-number error
             if storage.has_stream("WordDocument"):

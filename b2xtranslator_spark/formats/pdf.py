@@ -1,0 +1,448 @@
+"""PDF -> plain-text extraction (the north rule's "PDF/layout parse" leg).
+
+Pure stdlib ([ISO 32000-1] object syntax + zlib FlateDecode), built for the
+same per-document batch kernel as the CFB and markup paths: deterministic,
+never raises (callers get row-level status), deadline-bounded.
+
+Structure mirrors the CFB reader's philosophy (spec-driven parse with
+defensive relaxations for corrupt files, formats/cfb.py):
+
+- **Object discovery by brute scan**, not xref: every ``N G obj`` marker in
+  the buffer is parsed, later definitions win (incremental-update semantics
+  — the same last-edit-wins rule as the PPT persist directory,
+  formats/ppt.py). A broken or truncated xref therefore costs nothing; this
+  is the fuzzer-tolerant choice, and O(payload) like everything else in the
+  kernel.
+- **Page tree walk** from the trailer/catalog (/Root -> /Pages -> /Kids,
+  cycle-guarded like the CFB directory walk); files whose catalog is
+  missing or corrupt fall back to /Type/Page objects in file order.
+- **Content streams**: /FlateDecode via zlib (raw streams pass through);
+  /Length is honored when plausible but ``endstream`` is searched when the
+  declared length is missing, indirect, or lies — error tolerance over
+  trust, exactly like the reference's defensive stream reads.
+- **Text operators**: BT/ET blocks; Tj / ' / " / TJ show text; Td/TD with a
+  vertical component, T*, Tm with a new y, and '/" insert line breaks (the
+  layout rule: a vertical reposition is a new line). TJ kerning adjustments
+  below ``TJ_SPACE_KERN`` insert a space (the standard heuristic for
+  word-gap kerning). Shown bytes decode as Latin-1 (simple-font scope:
+  CID/Identity-H 2-byte text is out of scope and extracts as-is; a real
+  ToUnicode CMap walk is the documented follow-up).
+
+Shown text is emitted VERBATIM (no whitespace collapse): a literal string
+round-trips bit-exactly, which is what lets the driver oracle state the
+expected extraction as the identity in portable SQL.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from ..budget import check_deadline
+
+__all__ = ["extract_pdf_text", "PDF_MAGIC"]
+
+PDF_MAGIC = b"%PDF-"
+TJ_SPACE_KERN = -180  # thousandths of an em; gaps wider than this are spaces
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_OBJ_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer\b")
+_ESCAPES = {
+    ord("n"): "\n",
+    ord("r"): "\r",
+    ord("t"): "\t",
+    ord("b"): "\b",
+    ord("f"): "\f",
+    ord("("): "(",
+    ord(")"): ")",
+    ord("\\"): "\\",
+}
+
+
+class _Ref(tuple):
+    """Indirect reference (num, gen) — a distinct type so a parsed integer
+    pair is never confused with one."""
+
+    __slots__ = ()
+
+
+def _skip_ws(buf: bytes, pos: int) -> int:
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # % comment to EOL
+            e = buf.find(b"\n", pos)
+            pos = n if e < 0 else e + 1
+        else:
+            break
+    return pos
+
+
+def _parse_literal_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """pos is after '('. Nested parens balance; escapes per 7.3.4.2."""
+    out = bytearray()
+    depth = 1
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = buf[pos]
+            if e in _ESCAPES:
+                out += _ESCAPES[e].encode("latin-1")
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # octal \ddd (1-3 digits)
+                oct_digits = bytearray([e])
+                pos += 1
+                while pos < n and len(oct_digits) < 3 and 0x30 <= buf[pos] <= 0x37:
+                    oct_digits.append(buf[pos])
+                    pos += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and buf[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: drop the backslash
+                out.append(e)
+                pos += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+        elif c == 0x0D:  # EOL inside string normalizes to \n (7.3.4.2)
+            out.append(0x0A)
+            pos += 1
+            if pos < n and buf[pos] == 0x0A:
+                pos += 1
+            continue
+        out.append(c)
+        pos += 1
+    return bytes(out), pos  # unterminated: best-effort
+
+
+def _parse_hex_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    e = buf.find(b">", pos)
+    if e < 0:
+        e = len(buf)
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", buf[pos:e])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), min(e + 1, len(buf))
+
+
+_NAME_STOP = _WS + _DELIM
+
+
+def _parse_name(buf: bytes, pos: int) -> tuple[str, int]:
+    start = pos
+    n = len(buf)
+    while pos < n and buf[pos] not in _NAME_STOP:
+        pos += 1
+    raw = buf[start:pos]
+    # #xx hex escapes in names
+    raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+    return "/" + raw.decode("latin-1"), pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+_KEYWORD_RE = re.compile(rb"[A-Za-z'\"*]{1,32}")
+
+
+def _parse_value(buf: bytes, pos: int):
+    """One object at pos -> (value, newpos). Keywords return ('op', name)."""
+    pos = _skip_ws(buf, pos)
+    if pos >= len(buf):
+        return None, pos
+    c = buf[pos]
+    if c == 0x28:
+        s, pos = _parse_literal_string(buf, pos + 1)
+        return ("str", s), pos
+    if buf.startswith(b"<<", pos):
+        d = {}
+        pos += 2
+        while True:
+            pos = _skip_ws(buf, pos)
+            if pos >= len(buf) or buf.startswith(b">>", pos):
+                pos = min(pos + 2, len(buf))
+                return d, pos
+            if buf[pos] != 0x2F:  # malformed key: bail out of the dict
+                return d, pos + 1
+            key, pos = _parse_name(buf, pos + 1)
+            val, pos = _parse_value(buf, pos)
+            d[key] = val
+    if c == 0x3C:
+        s, pos = _parse_hex_string(buf, pos + 1)
+        return ("str", s), pos
+    if c == 0x5B:
+        arr = []
+        pos += 1
+        while True:
+            pos = _skip_ws(buf, pos)
+            if pos >= len(buf) or buf[pos] == 0x5D:
+                return arr, min(pos + 1, len(buf))
+            val, npos = _parse_value(buf, pos)
+            if npos == pos:  # no progress: malformed
+                return arr, pos + 1
+            arr.append(val)
+            pos = npos
+    if c == 0x2F:
+        return _parse_name(buf, pos + 1)
+    m = _NUM_RE.match(buf, pos)
+    if m:
+        txt = m.group(0)
+        pos = m.end()
+        # indirect reference lookahead: <int> <int> R
+        if b"." not in txt:
+            m2 = re.compile(rb"\s+(\d{1,10})\s+R\b").match(buf, pos)
+            if m2:
+                return _Ref((int(txt), int(m2.group(1)))), m2.end()
+            return int(txt), pos
+        return float(txt), pos
+    m = _KEYWORD_RE.match(buf, pos)
+    if m:
+        kw = m.group(0)
+        if kw == b"true":
+            return True, m.end()
+        if kw == b"false":
+            return False, m.end()
+        if kw == b"null":
+            return None, m.end()
+        return ("op", kw.decode("latin-1")), m.end()
+    return None, pos + 1  # unparseable byte: skip
+
+
+class _Document:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.objects: dict[int, tuple] = {}  # num -> (value, stream_end_pos)
+        self._scan()
+
+    def _scan(self) -> None:
+        for i, m in enumerate(_OBJ_RE.finditer(self.buf)):
+            if i % 256 == 0:
+                check_deadline()
+            num = int(m.group(1))
+            val, pos = _parse_value(self.buf, m.end())
+            data = None
+            pos = _skip_ws(self.buf, pos)
+            if self.buf.startswith(b"stream", pos):
+                data = self._read_stream(val, pos)
+            # later definition wins (incremental update, last-edit-wins)
+            self.objects[num] = (val, data)
+
+    def _read_stream(self, sdict, pos: int) -> bytes:
+        pos += len(b"stream")
+        if self.buf.startswith(b"\r\n", pos):
+            pos += 2
+        elif pos < len(self.buf) and self.buf[pos : pos + 1] in (b"\n", b"\r"):
+            pos += 1
+        length = sdict.get("/Length") if isinstance(sdict, dict) else None
+        if isinstance(length, _Ref):
+            lv = self.resolve(length)
+            length = lv if isinstance(lv, int) else None
+        end = None
+        if isinstance(length, int) and 0 <= length <= len(self.buf) - pos:
+            cand = pos + length
+            if self.buf[cand : cand + 32].lstrip(_WS).startswith(b"endstream"):
+                end = cand
+        if end is None:  # declared length missing/indirectly wrong: search
+            e = self.buf.find(b"endstream", pos)
+            end = e if e >= 0 else len(self.buf)
+        return self.buf[pos:end]
+
+    def resolve(self, obj, _depth: int = 0):
+        while isinstance(obj, _Ref) and _depth < 32:
+            entry = self.objects.get(obj[0])
+            if entry is None:
+                return None
+            obj = entry[0]
+            _depth += 1
+        return obj
+
+    def stream_data(self, obj) -> bytes:
+        """Decoded bytes of a stream object (or b'' if not a stream)."""
+        if isinstance(obj, _Ref):
+            entry = self.objects.get(obj[0])
+            if entry is None:
+                return b""
+            sdict, data = entry
+        else:
+            return b""
+        if data is None:
+            return b""
+        filt = self.resolve(sdict.get("/Filter")) if isinstance(sdict, dict) else None
+        filters = filt if isinstance(filt, list) else [filt] if filt else []
+        for f in filters:
+            if self.resolve(f) == "/FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    try:  # truncated deflate: salvage the prefix
+                        data = zlib.decompressobj().decompress(data)
+                    except zlib.error:
+                        return b""
+            # unknown filters (DCT, LZW, ...) pass through undecoded; text
+            # content in scope uses Flate or none
+        return data
+
+    # -- page tree ---------------------------------------------------------
+    def _catalog(self):
+        root = None
+        for m in _TRAILER_RE.finditer(self.buf):
+            val, _ = _parse_value(self.buf, m.end())
+            if isinstance(val, dict) and "/Root" in val:
+                root = val["/Root"]  # last trailer wins
+        if root is not None:
+            cat = self.resolve(root)
+            if isinstance(cat, dict):
+                return cat
+        for num in self.objects:  # fallback: any catalog object
+            val = self.objects[num][0]
+            if isinstance(val, dict) and val.get("/Type") == "/Catalog":
+                return val
+        return None
+
+    def pages(self) -> list[dict]:
+        cat = self._catalog()
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node_ref, depth=0):
+            if depth > 64:
+                return
+            if isinstance(node_ref, _Ref):
+                if node_ref[0] in seen:  # cycle guard (CFB directory rule)
+                    return
+                seen.add(node_ref[0])
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            t = node.get("/Type")
+            if t == "/Page":
+                out.append(node)
+                return
+            kids = self.resolve(node.get("/Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk(kid, depth + 1)
+
+        if cat is not None:
+            walk(cat.get("/Pages"))
+        if not out:  # corrupt/missing tree: file-order fallback
+            for num in sorted(self.objects):
+                val = self.objects[num][0]
+                if isinstance(val, dict) and val.get("/Type") == "/Page":
+                    out.append(val)
+        return out
+
+
+def _page_content(doc: _Document, page: dict) -> bytes:
+    contents = page.get("/Contents")
+    refs = contents if isinstance(contents, list) else [contents]
+    parts = []
+    for r in refs:
+        if isinstance(r, _Ref):
+            parts.append(doc.stream_data(r))
+    return b"\n".join(p for p in parts if p)
+
+
+def _is_str(v) -> bool:
+    """A parsed PDF string — NOT a _Ref, which is also a tuple."""
+    return type(v) is tuple and len(v) == 2 and v[0] == "str"
+
+
+def _extract_content_text(content: bytes) -> tuple[str, int]:
+    """Run the text operators of one content stream -> (text, ops_seen)."""
+    pos = 0
+    n = len(content)
+    operands: list = []
+    out: list[str] = []
+    line_open = False  # whether text has been shown since the last break
+    ops = 0
+
+    def show(raw: bytes) -> None:
+        nonlocal line_open
+        out.append(raw.decode("latin-1"))
+        line_open = True
+
+    def newline() -> None:
+        nonlocal line_open
+        if line_open:
+            out.append("\n")
+            line_open = False
+
+    while pos < n:
+        val, npos = _parse_value(content, pos)
+        if npos == pos:
+            npos += 1
+        pos = npos
+        ops += 1
+        if ops % 1024 == 0:
+            check_deadline()
+        if not (isinstance(val, tuple) and len(val) == 2 and val[0] == "op"):
+            operands.append(val)
+            if len(operands) > 64:  # runaway operand stack on garbage
+                del operands[:-8]
+            continue
+        op = val[1]
+        if op == "Tj":
+            if operands and _is_str(operands[-1]):
+                show(operands[-1][1])
+        elif op == "TJ":
+            if operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if _is_str(el):
+                        show(el[1])
+                    elif isinstance(el, (int, float)) and el < TJ_SPACE_KERN:
+                        show(b" ")
+        elif op in ("'", '"'):
+            newline()
+            if operands and _is_str(operands[-1]):
+                show(operands[-1][1])
+        elif op in ("Td", "TD"):
+            if (
+                len(operands) >= 2
+                and isinstance(operands[-1], (int, float))
+                and operands[-1] != 0
+            ):
+                newline()
+        elif op == "T*":
+            newline()
+        elif op == "Tm":
+            newline()
+        elif op == "ET":
+            newline()
+        operands = []
+    return "".join(out).rstrip("\n"), ops
+
+
+def extract_pdf_text(payload: bytes) -> tuple[str, int]:
+    """Extract plain text from a PDF payload -> (text, records_decoded).
+
+    Pages in catalog-tree order (file order on corrupt trees), page texts
+    joined with one newline; shown strings verbatim (Latin-1 simple-font
+    scope). Tolerant of broken xref/lengths by construction; raises only
+    DocumentTimeout (deadline), which the dispatcher maps to a timeout row.
+    """
+    doc = _Document(payload)
+    texts = []
+    records = len(doc.objects)
+    for page in doc.pages():
+        check_deadline()
+        content = _page_content(doc, page)
+        if not content:
+            continue
+        t, ops = _extract_content_text(content)
+        records += ops
+        if t:
+            texts.append(t)
+    return "\n".join(texts), records

@@ -147,6 +147,7 @@ def main() -> None:
     qs = em.queries()
     for name in (
         "extract_markup_transcripts",
+        "extract_pdf_transcripts",
         "dedup_minhash_lsh",
         "dedup_exact",
         "dedup_embedding_lsh",

@@ -1,0 +1,215 @@
+"""PDF text extraction: hand-built fixtures with expected text declared
+independently of the extractor (the binfixtures discipline), covering the
+object syntax, stream decoding, page-tree order, layout line breaks, and
+hostile inputs."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from b2xtranslator_spark.extractors import extract_payload_text
+from b2xtranslator_spark.formats.pdf import extract_pdf_text
+
+
+def _pdf(objects: dict[int, bytes], root: int | None = 1) -> bytes:
+    """Assemble a PDF from numbered object bodies. No xref needed — the
+    extractor's brute object scan is the contract under test."""
+    parts = [b"%PDF-1.4\n"]
+    for num, body in objects.items():
+        parts.append(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+    if root is not None:
+        parts.append(b"trailer<</Root %d 0 R>>\n" % root)
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def _content(ops: bytes, flate: bool = False, length: bytes | None = None) -> bytes:
+    data = zlib.compress(ops) if flate else ops
+    head = b"<<"
+    if length is None:
+        head += b"/Length %d" % len(data)
+    elif length != b"":
+        head += b"/Length " + length
+    if flate:
+        head += b"/Filter/FlateDecode"
+    head += b">>"
+    return head + b"stream\n" + data + b"\nendstream"
+
+
+def _one_page(ops: bytes, **kw) -> bytes:
+    return _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(ops, **kw),
+        }
+    )
+
+
+def test_minimal_tj():
+    text, _ = extract_pdf_text(_one_page(b"BT /F1 12 Tf (Hello world) Tj ET"))
+    assert text == "Hello world"
+
+
+def test_lines_via_td_and_tstar():
+    ops = b"BT (line one) Tj 0 -14 Td (line two) Tj T* (line three) Tj ET"
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "line one\nline two\nline three"
+
+
+def test_horizontal_td_is_not_a_newline():
+    ops = b"BT (left) Tj 120 0 Td ( right) Tj ET"
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "left right"
+
+
+def test_tj_array_kerning_space():
+    # -250 < TJ_SPACE_KERN (-180): word gap; -20: intra-word kern, no space
+    ops = b"BT [(Hel) -20 (lo) -250 (world)] TJ ET"
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "Hello world"
+
+
+def test_string_escapes_and_hex():
+    ops = (
+        rb"BT (paren \( octal \101 tab\there) Tj "
+        rb"0 -10 Td <48692121> Tj ET"
+    )
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "paren ( octal A tab\there\nHi!!"
+
+
+def test_multiline_literal_string_verbatim():
+    # raw newlines inside () are preserved — the identity contract the
+    # driver oracle relies on
+    ops = b"BT (first\nsecond\n\nfourth) Tj ET"
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "first\nsecond\n\nfourth"
+
+
+def test_flate_stream():
+    text, _ = extract_pdf_text(_one_page(b"BT (compressed text) Tj ET", flate=True))
+    assert text == "compressed text"
+
+
+def test_length_indirect_and_wrong():
+    # /Length as an indirect ref AND a lying value: endstream search wins
+    body = _content(b"BT (resilient) Tj ET", length=b"9999")
+    pdf = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: body,
+        }
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "resilient"
+
+
+def test_two_pages_tree_order():
+    pdf = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            # kids listed in REVERSE file order: tree order must win
+            2: b"<</Type/Pages/Kids[5 0 R 3 0 R]/Count 2>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(b"BT (second page) Tj ET"),
+            5: b"<</Type/Page/Parent 2 0 R/Contents 6 0 R>>",
+            6: _content(b"BT (first page) Tj ET"),
+        }
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "first page\nsecond page"
+
+
+def test_missing_catalog_falls_back_to_file_order():
+    pdf = _pdf(
+        {
+            3: b"<</Type/Page/Contents 4 0 R>>",
+            4: _content(b"BT (orphan page) Tj ET"),
+        },
+        root=None,
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "orphan page"
+
+
+def test_incremental_update_last_definition_wins():
+    base = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(b"BT (old revision) Tj ET"),
+        }
+    )
+    update = b"4 0 obj\n" + _content(b"BT (new revision) Tj ET") + b"\nendobj\n"
+    text, _ = extract_pdf_text(base + update)
+    assert text == "new revision"
+
+
+def test_dispatch_by_magic():
+    res = extract_payload_text(_one_page(b"BT (via dispatcher) Tj ET"))
+    assert res.status == "ok"
+    assert res.kind == "pdf"
+    assert res.text == "via dispatcher"
+    assert res.metrics["records_decoded"] > 0
+
+
+def test_hostile_mutations_never_crash():
+    import numpy as np
+
+    base = bytearray(_one_page(b"BT (target of fuzz) Tj ET", flate=True))
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        b = bytearray(base)
+        for i in rng.integers(0, len(b), 6):
+            b[i] = int(rng.integers(0, 256))
+        res = extract_payload_text(bytes(b))
+        assert res.status in ("ok", "parse_error", "unsupported", "timeout", "encrypted")
+
+
+def test_budget_applies_to_pdf():
+    many = b" ".join(b"BT (x) Tj ET" for _ in range(20000))
+    res = extract_payload_text(_one_page(many), budget_seconds=1e-6)
+    assert res.status == "timeout"
+    res2 = extract_payload_text(_one_page(b"BT (after) Tj ET"))
+    assert res2.status == "ok" and res2.text == "after"
+
+
+def test_cycle_in_page_tree_terminates():
+    pdf = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[2 0 R 3 0 R]/Count 2>>",  # self-cycle
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(b"BT (survives cycles) Tj ET"),
+        }
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "survives cycles"
+
+
+@pytest.mark.usefixtures("spark")
+def test_pipeline_pdf_payload_end_to_end(spark):
+    import base64
+    import datetime
+
+    from b2xtranslator_spark.pipeline import PAYLOAD_PREFIX, run_extraction
+
+    payload = PAYLOAD_PREFIX + base64.b64encode(
+        _one_page(b"BT (pdf through spark) Tj ET", flate=True)
+    ).decode()
+    ts = datetime.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "tool", None, payload, ts)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    row = run_extraction(df).collect()[0]
+    assert row["status"] == "ok"
+    assert row["text"] == "pdf through spark"
