@@ -53,6 +53,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     stratified_sample,
     token_count,
     token_histogram,
@@ -415,6 +416,10 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_table(spark, sf_dir, "documents"))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_table(spark, sf_dir, "documents"))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_table(spark, sf_dir, "documents"))
 
@@ -557,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
         "text_quality_score": _q_quality,
+        "text_repetition": _q_repetition,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
         "sample_documents": _q_sample,
@@ -827,6 +833,56 @@ def oracle_sql() -> dict[str, str]:
                    rtrim(text, chr(10)) AS extracted,
                    'ok' AS status
             FROM documents
+        """,
+        # Gopher repetition signals, stated via the independent unnest +
+        # GROUP BY formulation (the Spark side is a row-local run-length
+        # pass); round(6) on both sides
+        "text_repetition": """
+            WITH w AS (
+                SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS ls
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+            wc AS (
+                SELECT doc_id, max(c) AS cw FROM (
+                    SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                               p -> p[1] || ' ' || p[2]),
+                           x -> x IS NOT NULL) AS bgs
+                FROM w
+            ),
+            bgt AS (SELECT doc_id, unnest(bgs) AS g FROM b),
+            bc AS (
+                SELECT doc_id, max(c) AS cb FROM (
+                    SELECT doc_id, g, count(*) AS c FROM bgt GROUP BY 1, 2
+                ) GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   len(ls) AS n_lines,
+                   round(CASE WHEN len(ls) > 0
+                              THEN 1.0 - len(list_distinct(ls)) / len(ls)
+                              ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(wc.cw / greatest(len(w.ws), 1), 6) AS top_word_frac,
+                   round(2 * coalesce(bc.cb, 0)
+                         / greatest(len(w.ws), 1), 6) AS top_bigram_frac
+            FROM w
+            JOIN lines USING (doc_id)
+            LEFT JOIN wc USING (doc_id)
+            LEFT JOIN bc USING (doc_id)
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

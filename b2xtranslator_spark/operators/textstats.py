@@ -37,6 +37,49 @@ def _content_md5(col: str = "text"):
     return F.md5(F.encode(_norm(col), "UTF-8"))
 
 
+def _rle_pairs(arr):
+    """Run-length pairs of an array column, as array<struct<negc:int,
+    w:string>> (negc = -count, so an array_sort ranks by count desc, value
+    asc). One O(n log n) row-local pass: sort, find run starts
+    (s[i] != s[i-1]), read each run's length as next_start - start.
+
+    F.get is 0-based and null-safe (element_at throws on index 0 / ANSI
+    out-of-bounds); get(s, -1) at i=1 yields NULL, and x != NULL is NULL,
+    so the i==1 disjunct alone admits the first run start. An empty input
+    yields an empty result (the sequence over greatest(n,1) would
+    fabricate index 1 otherwise)."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (i == F.lit(1))
+        | (F.get(s, i - F.lit(1)) != F.get(s, i - F.lit(2))),
+    )
+    # sentinel n+1 closes the last run; zip (start, next_start)
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + F.lit(1)),
+    )
+    pairs = F.zip_with(
+        starts,
+        nexts,
+        lambda a, b: F.struct(
+            (a - b).alias("negc"), F.get(s, a - F.lit(1)).alias("w")
+        ),
+    )
+    return F.when(n > F.lit(0), pairs).otherwise(
+        F.array().cast("array<struct<negc:int,w:string>>")
+    )
+
+
+def _max_run_count(arr):
+    """Count of the most frequent element of an array column (0 on empty)."""
+    pairs = _rle_pairs(arr)
+    return F.coalesce(
+        -F.array_min(F.transform(pairs, lambda p: p["negc"])), F.lit(0)
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic)."""
     return documents.select(
@@ -259,6 +302,56 @@ def token_length_quantiles(
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition filters): the fraction
+    of duplicate lines, the fraction of tokens taken by the most frequent
+    word, and the fraction of tokens covered by the most frequent bigram.
+    High values mark boilerplate/spam documents every pretraining corpus
+    filter drops.
+
+    Plan shape: a PURE MAP — lines, words and bigrams are row-local array
+    ops (split / zip_with / run-length via _rle_pairs), so the operator is
+    one projection inside whole-stage codegen with ZERO shuffle at any
+    corpus size. The DuckDB oracle states the same statistics through the
+    independent unnest + GROUP BY formulation."""
+    lines = F.filter(
+        # NOT F.transform(..., F.trim): transform passes (elem, idx) to any
+        # binary callable, and trim's optional second param is the trim
+        # STRING — the index would silently become trim characters
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > F.lit(0),
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0)).cast("double")
+    ws = _words()
+    n_tokens = F.size(ws)
+    top_word_frac = (
+        _max_run_count(ws) / F.greatest(n_tokens, F.lit(1))
+    ).cast("double")
+    # bigrams in occurrence order: zip tokens with their successors
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n_tokens - 1, F.lit(0))),
+        F.slice(
+            ws, 2, F.greatest(n_tokens - 1, F.lit(0))
+        ),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bigram_frac = (
+        F.lit(2) * _max_run_count(bigrams) / F.greatest(n_tokens, F.lit(1))
+    ).cast("double")
+    return documents.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+    )
+
+
 def top_tokens_sketch(
     documents: DataFrame,
     k: int = 20,
@@ -313,41 +406,12 @@ def top_tokens_sketch(
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
-    # row-local per-doc top tokens in O(n log n): sort the row's token
-    # array, find run starts (s[i] != s[i-1]), and read each run's length
-    # as next_start - start — a single run-length pass, NOT the quadratic
-    # per-distinct-token rescan (O(distinct x tokens) dies on one large
-    # document). Rank by (count desc, token asc) via a (-count, token)
+    # row-local per-doc top tokens in O(n log n): one run-length pass over
+    # the sorted token array (_rle_pairs), NOT the quadratic per-distinct-
+    # token rescan. Rank by (count desc, token asc) via the (-count, token)
     # struct sort, slice the top per_doc_k.
     wf = F.filter(words, lambda x: F.length(x) >= min_len)
-    s = F.array_sort(wf)
-    n = F.size(s)
-    # F.get is 0-based and null-safe (element_at throws on index 0 / ANSI
-    # out-of-bounds); get(s, -1) at i=1 yields NULL, and x != NULL is NULL,
-    # so the i==1 disjunct alone admits the first run start
-    starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: (i == F.lit(1))
-        | (F.get(s, i - F.lit(1)) != F.get(s, i - F.lit(2))),
-    )
-    # sentinel n+1 closes the last run; zip (start, next_start)
-    nexts = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(n + F.lit(1)),
-    )
-    per_tok = F.zip_with(
-        starts,
-        nexts,
-        lambda a, b: F.struct(
-            (a - b).alias("negc"), F.get(s, a - F.lit(1)).alias("w")
-        ),
-    )
-    # empty token array: sequence(1, greatest(0,1)) would fabricate index 1
-    # pointing at nothing — emit no candidates instead
-    per_tok = F.when(n > F.lit(0), per_tok).otherwise(
-        F.array().cast("array<struct<negc:int,w:string>>")
-    )
-    top_local = F.slice(F.array_sort(per_tok), 1, per_doc_k)
+    top_local = F.slice(F.array_sort(_rle_pairs(wf)), 1, per_doc_k)
     candidates = (
         documents.select(F.explode(top_local).alias("s"))
         .select("s.w")

@@ -476,3 +476,40 @@ def test_top_tokens_sketch_run_length_edges(spark):
     assert est.get("bar", 0) >= 6  # CMS never undercounts: true count 6
     assert est.get("foo", 0) >= 3
     assert "a" not in est and "" not in est
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    """Gopher repetition signals: planted boilerplate (repeated lines /
+    words / bigrams) scores high, clean prose scores low, degenerate rows
+    are harmless."""
+    from b2xtranslator_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nunique line", "en", "s", 1),
+        (2, "the quick brown fox jumps over a lazy dog", "en", "s", 1),
+        (3, "spam spam spam spam ham", "en", "s", 1),
+        (4, "click here click here click here", "en", "s", 1),
+        (5, "", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_word_frac"] == round(1 / 9, 6)
+    assert out[3]["top_word_frac"] == 0.8  # spam x4 of 5
+    # "click here" appears 3x of 6 tokens -> 2*3/6
+    assert out[4]["top_bigram_frac"] == 1.0
+    assert out[5]["n_lines"] == 0 and out[5]["dup_line_frac"] == 0.0
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """The operator must stay a pure map: no Exchange anywhere in the
+    physical plan, at any corpus size."""
+    from b2xtranslator_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
