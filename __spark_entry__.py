@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     SIMHASH_BITS,
     connected_components,
+    connected_components_star,
     dedup_pipeline,
     embedding_near_duplicates,
     exact_duplicates,
@@ -332,6 +333,15 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, nodes=docs)
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster spec via the O(log d) large-star/small-star rounds —
+    interchangeable with _q_dedup_clusters, checked against the SAME
+    recursive-CTE oracle."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    return connected_components_star(pairs, nodes=docs)
+
+
 def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup decision: LSH candidates -> exact Jaccard verify ->
     clusters -> per-doc keep/drop."""
@@ -548,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_pipeline": _q_dedup_pipeline,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -938,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _sql_minhash_lsh(400),
         "dedup_clusters": _sql_dedup_clusters(400),
+        "dedup_clusters_star": _sql_dedup_clusters(400),
         "dedup_pipeline": _sql_dedup_pipeline(400),
         "dedup_embedding_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

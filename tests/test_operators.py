@@ -513,3 +513,41 @@ def test_repetition_stats_is_shuffle_free(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_connected_components_star_matches_minlabel(docs, spark):
+    """The large-star/small-star variant must produce byte-identical
+    labels to min-label propagation on the real LSH candidate graph."""
+    from b2xtranslator_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cands = minhash_lsh_candidates(docs, 16, 8)
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(cands, nodes=docs).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(cands, nodes=docs).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_star_handles_deep_chains(spark):
+    """A 100-hop chain needs ~100 min-label rounds (the O(d) variant
+    correctly refuses at max_iter=20) but only O(log d) star rounds."""
+    from b2xtranslator_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iter=20)
+    out = connected_components_star(chain, max_iter=16).collect()
+    assert len(out) == 101
+    assert all(r["cluster_id"] == 0 for r in out)
