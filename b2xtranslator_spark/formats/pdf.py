@@ -24,9 +24,14 @@ defensive relaxations for corrupt files, formats/cfb.py):
   vertical component, T*, Tm with a new y, and '/" insert line breaks (the
   layout rule: a vertical reposition is a new line). TJ kerning adjustments
   below ``TJ_SPACE_KERN`` insert a space (the standard heuristic for
-  word-gap kerning). Shown bytes decode as Latin-1 (simple-font scope:
-  CID/Identity-H 2-byte text is out of scope and extracts as-is; a real
-  ToUnicode CMap walk is the documented follow-up).
+  word-gap kerning).
+- **Text decoding**: fonts selected by ``Tf`` decode through their
+  /ToUnicode CMap when present ([PDF 1.7] 9.10.3: codespacerange width,
+  bfchar, both bfrange forms, UTF-16BE destinations) — embedded/CID fonts
+  with a ToUnicode map extract real text, with /Resources inherited down
+  the page tree (7.7.3.4). Fonts without one fall back to Latin-1 with a
+  UTF-16BE BOM sniff; pure Identity-H without the map stays unmapped by
+  design (there is no text to recover without the CMap).
 
 Shown text is emitted VERBATIM (no whitespace collapse): a literal string
 round-trips bit-exactly, which is what lets the driver oracle state the
@@ -311,12 +316,14 @@ class _Document:
                 return val
         return None
 
-    def pages(self) -> list[dict]:
+    def pages(self) -> list[tuple[dict, dict | None]]:
+        """Leaf pages with their EFFECTIVE /Resources (inheritable from
+        ancestor /Pages nodes per 7.7.3.4) -> [(page, resources)]."""
         cat = self._catalog()
-        out: list[dict] = []
+        out: list[tuple[dict, dict | None]] = []
         seen: set[int] = set()
 
-        def walk(node_ref, depth=0):
+        def walk(node_ref, inherited_res, depth=0):
             if depth > 64:
                 return
             if isinstance(node_ref, _Ref):
@@ -326,23 +333,46 @@ class _Document:
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 return
+            res = self.resolve(node.get("/Resources"))
+            if not isinstance(res, dict):
+                res = inherited_res
             t = node.get("/Type")
             if t == "/Page":
-                out.append(node)
+                out.append((node, res))
                 return
             kids = self.resolve(node.get("/Kids"))
             if isinstance(kids, list):
                 for kid in kids:
-                    walk(kid, depth + 1)
+                    walk(kid, res, depth + 1)
 
         if cat is not None:
-            walk(cat.get("/Pages"))
+            walk(cat.get("/Pages"), None)
         if not out:  # corrupt/missing tree: file-order fallback
             for num in sorted(self.objects):
                 val = self.objects[num][0]
                 if isinstance(val, dict) and val.get("/Type") == "/Page":
-                    out.append(val)
+                    out.append((val, self.resolve(val.get("/Resources"))))
         return out
+
+    def font_decoders(self, resources) -> dict[str, "_FontDecoder"]:
+        """Map font resource names (/F1 ...) to decoders built from each
+        font's /ToUnicode CMap; fonts without one fall back to Latin-1."""
+        decoders: dict[str, _FontDecoder] = {}
+        if not isinstance(resources, dict):
+            return decoders
+        fonts = self.resolve(resources.get("/Font"))
+        if not isinstance(fonts, dict):
+            return decoders
+        for name, ref in fonts.items():
+            font = self.resolve(ref)
+            if not isinstance(font, dict):
+                continue
+            tou = font.get("/ToUnicode")
+            if isinstance(tou, _Ref):
+                data = self.stream_data(tou)
+                if data:
+                    decoders[name] = _FontDecoder.from_cmap(data)
+        return decoders
 
 
 def _page_content(doc: _Document, page: dict) -> bytes:
@@ -360,7 +390,105 @@ def _is_str(v) -> bool:
     return type(v) is tuple and len(v) == 2 and v[0] == "str"
 
 
-def _extract_content_text(content: bytes) -> tuple[str, int]:
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL
+)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.DOTALL,
+)
+_MAX_CMAP_ENTRIES = 65536  # hostile-input cap on materialized mappings
+
+
+def _hex_to_text(h: bytes) -> str:
+    """CMap destination hex = UTF-16BE code units."""
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", "replace")
+
+
+class _FontDecoder:
+    """Decodes shown string bytes for one font.
+
+    With a /ToUnicode CMap ([PDF 1.7] 9.10.3): codes of ``width`` bytes map
+    through bfchar/bfrange entries (destination hex is UTF-16BE); unmapped
+    1-byte codes fall back to Latin-1 and unmapped wide codes to their
+    codepoint. Without a CMap: Latin-1, with a UTF-16BE BOM sniff (the
+    text-string convention, 7.9.2.2)."""
+
+    def __init__(self, width: int = 1, cmap: dict[int, str] | None = None):
+        self.width = max(1, min(width, 4))
+        self.cmap = cmap
+
+    @classmethod
+    def from_cmap(cls, data: bytes) -> "_FontDecoder":
+        width = 1
+        m = _CODESPACE_RE.search(data)
+        if m:
+            first = _HEX_RE.search(m.group(1))
+            if first:
+                width = max(1, len(first.group(1)) // 2)
+        cmap: dict[int, str] = {}
+        for block in _BFCHAR_RE.finditer(data):
+            hexes = _HEX_RE.findall(block.group(1))
+            for src, dst in zip(hexes[::2], hexes[1::2]):
+                if len(cmap) >= _MAX_CMAP_ENTRIES:
+                    break
+                cmap[int(src, 16)] = _hex_to_text(dst)
+        for block in _BFRANGE_RE.finditer(data):
+            for entry in _BFRANGE_ENTRY_RE.finditer(block.group(1)):
+                lo, hi = int(entry.group(1), 16), int(entry.group(2), 16)
+                hi = min(hi, lo + _MAX_CMAP_ENTRIES)  # hostile range cap
+                if entry.group(3) is not None:
+                    # <lo> <hi> <dstStart>: consecutive destinations — the
+                    # LAST UTF-16 code unit increments (9.10.3)
+                    base = entry.group(3)
+                    base_prefix = _hex_to_text(base[:-4]) if len(base) > 4 else ""
+                    base_last = int(base[-4:], 16) if len(base) >= 4 else int(base, 16)
+                    for i, code in enumerate(range(lo, hi + 1)):
+                        if len(cmap) >= _MAX_CMAP_ENTRIES:
+                            break
+                        cmap[code] = base_prefix + chr((base_last + i) & 0xFFFF)
+                else:
+                    dsts = _HEX_RE.findall(entry.group(4))
+                    for code, dst in zip(range(lo, hi + 1), dsts):
+                        if len(cmap) >= _MAX_CMAP_ENTRIES:
+                            break
+                        cmap[code] = _hex_to_text(dst)
+        return cls(width, cmap)
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is None:
+            if raw.startswith(b"\xfe\xff"):
+                return raw[2:].decode("utf-16-be", "replace")
+            return raw.decode("latin-1")
+        w = self.width
+        out = []
+        for i in range(0, len(raw) - (len(raw) % w), w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            mapped = self.cmap.get(code)
+            if mapped is not None:
+                out.append(mapped)
+            elif w == 1:
+                out.append(raw[i : i + 1].decode("latin-1"))
+            else:
+                out.append(chr(code) if code < 0x110000 else "�")
+        tail = len(raw) % w
+        if tail:  # trailing partial code: pass through as Latin-1
+            out.append(raw[-tail:].decode("latin-1"))
+        return "".join(out)
+
+
+_LATIN1 = _FontDecoder()
+
+
+def _extract_content_text(
+    content: bytes, fonts: dict[str, _FontDecoder] | None = None
+) -> tuple[str, int]:
     """Run the text operators of one content stream -> (text, ops_seen)."""
     pos = 0
     n = len(content)
@@ -368,10 +496,12 @@ def _extract_content_text(content: bytes) -> tuple[str, int]:
     out: list[str] = []
     line_open = False  # whether text has been shown since the last break
     ops = 0
+    fonts = fonts or {}
+    decoder = _LATIN1
 
     def show(raw: bytes) -> None:
         nonlocal line_open
-        out.append(raw.decode("latin-1"))
+        out.append(decoder.decode(raw))
         line_open = True
 
     def newline() -> None:
@@ -417,6 +547,10 @@ def _extract_content_text(content: bytes) -> tuple[str, int]:
                 newline()
         elif op == "T*":
             newline()
+        elif op == "Tf":
+            # /Name size Tf: select the font's decoder for subsequent shows
+            if len(operands) >= 2 and isinstance(operands[-2], str):
+                decoder = fonts.get(operands[-2], _LATIN1)
         elif op == "Tm":
             newline()
         elif op == "ET":
@@ -436,12 +570,12 @@ def extract_pdf_text(payload: bytes) -> tuple[str, int]:
     doc = _Document(payload)
     texts = []
     records = len(doc.objects)
-    for page in doc.pages():
+    for page, resources in doc.pages():
         check_deadline()
         content = _page_content(doc, page)
         if not content:
             continue
-        t, ops = _extract_content_text(content)
+        t, ops = _extract_content_text(content, doc.font_decoders(resources))
         records += ops
         if t:
             texts.append(t)

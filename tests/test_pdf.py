@@ -213,3 +213,139 @@ def test_pipeline_pdf_payload_end_to_end(spark):
     row = run_extraction(df).collect()[0]
     assert row["status"] == "ok"
     assert row["text"] == "pdf through spark"
+
+
+def _font_pdf(cmap: bytes, content_ops: bytes, res_on_pages: bool = False) -> bytes:
+    """One page whose /F1 carries a ToUnicode CMap; resources on the page
+    or (res_on_pages) inherited from the Pages node."""
+    res = b"<</Font<</F1 7 0 R>>>>"
+    pages = b"<</Type/Pages/Kids[3 0 R]/Count 1"
+    page = b"<</Type/Page/Parent 2 0 R/Contents 4 0 R"
+    if res_on_pages:
+        pages += b"/Resources " + res
+    else:
+        page += b"/Resources " + res
+    return _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: pages + b">>",
+            3: page + b">>",
+            4: _content(content_ops),
+            7: b"<</Type/Font/Subtype/Type0/ToUnicode 8 0 R>>",
+            8: _content(cmap),
+        }
+    )
+
+
+GREEK_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<41> <03B1>\n<42> <03B2>\nendbfchar\n"
+    b"endcmap\nend\n"
+)
+
+
+def test_tounicode_bfchar_1byte():
+    text, _ = extract_pdf_text(
+        _font_pdf(GREEK_CMAP, b"BT /F1 12 Tf (AB) Tj ET")
+    )
+    assert text == "αβ"
+
+
+def test_tounicode_unmapped_code_falls_back_latin1():
+    text, _ = extract_pdf_text(
+        _font_pdf(GREEK_CMAP, b"BT /F1 12 Tf (A-B) Tj ET")
+    )
+    assert text == "α-β"
+
+
+def test_tounicode_resources_inherited_from_pages_node():
+    text, _ = extract_pdf_text(
+        _font_pdf(GREEK_CMAP, b"BT /F1 12 Tf (AB) Tj ET", res_on_pages=True)
+    )
+    assert text == "αβ"
+
+
+def test_tounicode_bfrange_consecutive_2byte():
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0001> <0003> <0041>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    # hex string: codes 0001 0002 0003 -> A B C
+    text, _ = extract_pdf_text(
+        _font_pdf(cmap, b"BT /F1 12 Tf <000100020003> Tj ET")
+    )
+    assert text == "ABC"
+
+
+def test_tounicode_bfrange_array_form():
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<01> <02> [<0058> <0059>]\nendbfrange\n"
+        b"endcmap\n"
+    )
+    text, _ = extract_pdf_text(
+        _font_pdf(cmap, b"BT /F1 12 Tf <0102> Tj ET")
+    )
+    assert text == "XY"
+
+
+def test_tounicode_multi_codeunit_destination():
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<01> <00660066>\nendbfchar\n"  # ff pair
+        b"endcmap\n"
+    )
+    text, _ = extract_pdf_text(_font_pdf(cmap, b"BT /F1 12 Tf <01> Tj ET"))
+    assert text == "ff"
+
+
+def test_utf16be_bom_string_without_cmap():
+    # text-string convention: BOM-prefixed UTF-16BE (Cyrillic Pe, er)
+    ops = b"BT (\xfe\xff\x04\x1f\x04\x40) Tj ET"
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "Пр"
+
+
+def test_tf_switches_decoders_mid_stream():
+    ops = b"BT /F1 12 Tf (AB) Tj /F9 9 Tf ( plain) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(GREEK_CMAP, ops))
+    assert text == "αβ plain"  # unknown /F9 -> Latin-1
+
+
+def test_hostile_cmap_never_crashes():
+    import numpy as np
+
+    base = bytearray(_font_pdf(GREEK_CMAP, b"BT /F1 12 Tf (AB) Tj ET"))
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        b = bytearray(base)
+        for i in rng.integers(0, len(b), 6):
+            b[i] = int(rng.integers(0, 256))
+        res = extract_payload_text(bytes(b))
+        assert res.status in ("ok", "parse_error", "unsupported", "timeout", "encrypted")
+
+
+def test_hostile_giant_bfrange_is_bounded():
+    """A 2^32-code bfrange must not materialize: the entry cap bounds both
+    memory and time."""
+    import time
+
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00000000> <FFFFFFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<00000000> <FFFFFFFF> <0041>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    t0 = time.perf_counter()
+    text, _ = extract_pdf_text(
+        _font_pdf(cmap, b"BT /F1 12 Tf <00000041> Tj ET")
+    )
+    assert time.perf_counter() - t0 < 10
+    # code 0x41 lies inside the capped materialized prefix: 'A' + 0x41
+    assert text == chr(0x41 + 0x41)

@@ -186,3 +186,24 @@ def test_skew_guarded_joins_have_no_cartesian(spark, docs):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_markup_and_pdf_queries_have_no_premap_shuffle(spark):
+    """The synthesized markup/PDF extraction queries must stay the headline
+    plan shape: scan -> projection (payload synthesis) -> python map, with
+    no Exchange before the mapInPandas and no join anywhere."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    for name in ("extract_markup_transcripts", "extract_pdf_transcripts"):
+        plan = _plan(em.queries()[name](spark, SF_DIR))
+        map_idx = plan.find("MapInPandas")
+        assert map_idx >= 0, plan
+        below = plan[map_idx:]
+        assert "Exchange" not in below, f"{name}: shuffle below the map\n{below}"
+        assert "Join" not in plan, f"{name} must be join-free"
