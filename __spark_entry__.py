@@ -24,6 +24,7 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     SIMHASH_BITS,
     connected_components,
     connected_components_star,
+    paragraph_duplicates,
     dedup_pipeline,
     embedding_near_duplicates,
     exact_duplicates,
@@ -53,6 +54,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     deterministic_sample,
     fingerprint,
     language_id,
+    pii_scan,
     quality_score,
     repetition_stats,
     stratified_sample,
@@ -430,6 +432,40 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_table(spark, sf_dir, "documents"))
 
 
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over documents with deterministically planted PII (an email
+    and an ip derived from doc_id, appended identically in the oracle) so
+    the counts and the scrub are exercised on every row, not vacuously
+    zero."""
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    return pii_scan(docs)
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus paragraph dedup with a planted per-source boilerplate footer
+    (appended identically in the oracle): every source's footer line
+    groups across its documents."""
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfooter for "),
+            F.col("source"),
+            F.lit(" - subscribe to our newsletter today"),
+        ),
+    )
+    return paragraph_duplicates(docs)
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_table(spark, sf_dir, "documents"))
 
@@ -574,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_language_id,
         "text_quality_score": _q_quality,
         "text_repetition": _q_repetition,
+        "text_pii_scan": _q_pii_scan,
+        "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
         "sample_documents": _q_sample,
@@ -810,6 +848,8 @@ def _sql_lang_hits(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from b2xtranslator_spark.operators.textstats import PII_PATTERNS as _PII
+
     norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
     stop_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     lang_hits = {lang: _sql_lang_hits(lang) for lang in sorted(STOPWORDS)}
@@ -894,6 +934,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN lines USING (doc_id)
             LEFT JOIN wc USING (doc_id)
             LEFT JOIN bc USING (doc_id)
+        """,
+        # PII scan: identical regexes (Java-regex ∩ RE2 subset), identical
+        # planted text; counts via regexp_extract_all, scrub via chained
+        # regexp_replace in the SAME class order as pii_scan
+        "text_pii_scan": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact: user' || doc_id ||
+                       '@example.com at 10.0.0.' || (doc_id % 256) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+                   len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
+                   len(regexp_extract_all(text, '{_PII["phone"]}')) AS n_phone,
+                   length(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII["email"]}', '<email>', 'g'),
+                       '{_PII["ipv4"]}', '<ipv4>', 'g'),
+                       '{_PII["phone"]}', '<phone>', 'g')) AS scrubbed_len
+            FROM d
+        """,
+        # corpus paragraph dedup: identical planted footer; unnest with
+        # index via an indexed list_transform; composite-scalar arg-min
+        "dedup_paragraphs": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || chr(10) || 'footer for ' || source ||
+                       ' - subscribe to our newsletter today' AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> length(x) >= 20) AS ls
+                FROM d
+            ),
+            para0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           ls, (x, i) -> {'para': x, 'line_no': i - 1})) AS p
+                FROM lines
+            ),
+            para AS (
+                SELECT doc_id, p.para AS para, p.line_no AS line_no FROM para0
+            )
+            SELECT md5(para) AS para_fp,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(doc_id) AS keeper_doc_id,
+                   min(doc_id * 1000000 + line_no) % 1000000 AS keeper_line_no
+            FROM para
+            GROUP BY 1
+            HAVING count(*) > 1
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

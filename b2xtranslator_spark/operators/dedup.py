@@ -391,6 +391,43 @@ def connected_components(
     )
 
 
+def paragraph_duplicates(documents: DataFrame, min_len: int = 20) -> DataFrame:
+    """Cross-corpus paragraph-level dedup (the CCNet/CommonCrawl pipeline
+    stage): hash every trimmed non-empty line of at least ``min_len`` chars,
+    group by hash across ALL documents, report hashes appearing in more
+    than one place with their occurrence count, spread, and canonical
+    keeper (min doc, then min line index).
+
+    Plan: one explode (rows ~ total paragraphs) -> one hash-agg with
+    map-side partial aggregation (the boilerplate skew — the same footer on
+    a million pages — pre-aggregates inside every task before a single
+    combined row per partition shuffles, exactly the top_tokens argument).
+    md5 keys keep the operator oracle-portable."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) >= min_len,
+    )
+    para = documents.select(
+        "doc_id", F.posexplode(lines).alias("line_no", "para")
+    )
+    return (
+        para.groupBy(F.md5(F.encode(F.col("para"), "UTF-8")).alias("para_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            # arg-min over (doc_id, line_no) as one scalar key — the form
+            # both engines aggregate identically (line counts < 10^6/doc
+            # enforced by the encoding, fine for paragraph-shaped rows)
+            (
+                F.min(F.col("doc_id") * 1000000 + F.col("line_no"))
+                % 1000000
+            ).alias("keeper_line_no"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

@@ -352,6 +352,39 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+PII_PATTERNS = {
+    # deliberately simple classes expressible identically in Java regex
+    # (Spark) and RE2 (DuckDB): no lookarounds, no backrefs
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}",
+}
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Per-document PII pattern counts + scrubbed text length — the redaction
+    pre-pass every training-data pipeline runs before publication. Counts
+    per pattern class (email/ipv4/phone) and the length of the text after
+    replacing every match with a fixed tag, so downstream length filters see
+    post-scrub sizes.
+
+    Pure map (regexp_count / regexp_replace in codegen, zero shuffle); the
+    pattern dialect is the Java-regex ∩ RE2 subset so the DuckDB oracle
+    runs the very same expressions."""
+    scrubbed = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    cols = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return documents.select(
+        "doc_id",
+        *cols,
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
 def top_tokens_sketch(
     documents: DataFrame,
     k: int = 20,

@@ -551,3 +551,44 @@ def test_connected_components_star_handles_deep_chains(spark):
     out = connected_components_star(chain, max_iter=16).collect()
     assert len(out) == 101
     assert all(r["cluster_id"] == 0 for r in out)
+
+
+def test_pii_scan_counts_and_scrubs(spark):
+    from b2xtranslator_spark.operators.textstats import pii_scan
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org, call +1 555 0100, host 10.0.0.7", "en", "s", 1),
+        (2, "no pii here at all", "en", "s", 1),
+        (3, "not an ip 999.999 and not@ nothing", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 1, 1)
+    # scrub shortens: both emails, the phone and the ip replaced by tags
+    assert out[1]["scrubbed_len"] < len(rows[0][1])
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["scrubbed_len"] == len(rows[1][1])
+    assert out[3]["n_email"] == 0 and out[3]["n_ipv4"] == 0
+
+
+def test_paragraph_duplicates_groups_across_docs(spark):
+    from b2xtranslator_spark.operators.dedup import paragraph_duplicates
+
+    footer = "subscribe to our newsletter for updates"
+    rows = [
+        (5, "unique first paragraph of doc five\n" + footer, "en", "s", 1),
+        (2, footer + "\nunique second paragraph of doc two", "en", "s", 1),
+        (9, "short\n" + footer, "en", "s", 1),  # "short" under min_len
+        (7, "another wholly unique paragraph here", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = paragraph_duplicates(docs, min_len=20).collect()
+    assert len(out) == 1  # only the footer recurs; "short" was filtered
+    r = out[0]
+    assert r["n_occurrences"] == 3 and r["n_docs"] == 3
+    assert r["keeper_doc_id"] == 2
+    assert r["keeper_line_no"] == 0  # footer is doc 2's first kept line
