@@ -19,8 +19,8 @@ from .budget import (
     set_deadline,
 )
 from .formats import cfb
-from .formats.markup import extract_html_text, looks_like_markup
-from .formats.pdf import PDF_MAGIC, extract_pdf_text
+from .formats.markup import extract_html_parts, looks_like_markup
+from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
 from .formats.word.extract import extract_doc_text_parts, normalize_text
 from .formats.xls import extract_xls_text_parts
@@ -74,12 +74,14 @@ def extract_payload_text(
             force_kind is None and looks_like_markup(payload)
         ):
             res.kind = "html"
-            res.text, elements = extract_html_text(payload)
+            res.text, elements, spans = extract_html_parts(payload)
             res.metrics["records_decoded"] = elements
+            res.metrics["spans"] = spans
         elif payload.startswith(PDF_MAGIC):
             res.kind = "pdf"
-            res.text, records = extract_pdf_text(payload)
+            res.text, records, spans = extract_pdf_parts(payload)
             res.metrics["records_decoded"] = records
+            res.metrics["spans"] = spans
         else:
             storage = cfb.CompoundFile(payload)  # raises the magic-number error
             if storage.has_stream("WordDocument"):

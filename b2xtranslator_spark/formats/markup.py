@@ -236,17 +236,20 @@ class _TextFold(HTMLParser):
         self._flush()
 
 
-def extract_html_text(
+def extract_html_parts(
     payload: bytes | str,
     main_content: bool = False,
     link_density_max: float = 0.5,
-) -> tuple[str, int]:
+) -> tuple[str, int, list[tuple[str, int, int]]]:
     """Extract cleaned plain text from an HTML payload.
 
-    Returns (text, elements_decoded). ``main_content=True`` additionally
-    drops blocks whose link density exceeds ``link_density_max`` — the DOM
-    heuristic for menus/boilerplate that structural tag filtering can't
-    catch. html.parser is tolerant of malformed input and never raises on
+    Returns (text, elements_decoded, spans) where spans carries one
+    ("block", start, end) offset triple per emitted text block — the
+    span-offsets contract the pipeline's `spans` column records for every
+    payload kind. ``main_content=True`` additionally drops blocks whose
+    link density exceeds ``link_density_max`` — the DOM heuristic for
+    menus/boilerplate that structural tag filtering can't catch.
+    html.parser is tolerant of malformed input and never raises on
     garbage; the per-document deadline still bounds pathological inputs."""
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", "replace")
@@ -256,7 +259,22 @@ def extract_html_text(
     blocks = fold.blocks
     if main_content:
         blocks = [b for b in blocks if b[1] <= link_density_max]
-    return "\n".join(b[0] for b in blocks), fold.elements
+    spans: list[tuple[str, int, int]] = []
+    start = 0
+    for text, _ratio in blocks:
+        spans.append(("block", start, start + len(text)))
+        start += len(text) + 1  # the joining newline
+    return "\n".join(b[0] for b in blocks), fold.elements, spans
+
+
+def extract_html_text(
+    payload: bytes | str,
+    main_content: bool = False,
+    link_density_max: float = 0.5,
+) -> tuple[str, int]:
+    """(text, elements_decoded) — extract_html_parts without the spans."""
+    text, elements, _ = extract_html_parts(payload, main_content, link_density_max)
+    return text, elements
 
 
 _MARKUP_PREFIXES = ("<!doctype", "<html", "<head", "<body")

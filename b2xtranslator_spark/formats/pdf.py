@@ -559,17 +559,24 @@ def _extract_content_text(
     return "".join(out).rstrip("\n"), ops
 
 
-def extract_pdf_text(payload: bytes) -> tuple[str, int]:
-    """Extract plain text from a PDF payload -> (text, records_decoded).
+def extract_pdf_parts(
+    payload: bytes,
+) -> tuple[str, int, list[tuple[str, int, int]]]:
+    """Extract plain text from a PDF payload ->
+    (text, records_decoded, spans), with one ("page", start, end) span per
+    non-empty page — the span-offsets contract of the pipeline's `spans`
+    column.
 
     Pages in catalog-tree order (file order on corrupt trees), page texts
-    joined with one newline; shown strings verbatim (Latin-1 simple-font
-    scope). Tolerant of broken xref/lengths by construction; raises only
-    DocumentTimeout (deadline), which the dispatcher maps to a timeout row.
-    """
+    joined with one newline; shown strings verbatim modulo the selected
+    font's ToUnicode CMap. Tolerant of broken xref/lengths by
+    construction; raises only DocumentTimeout (deadline), which the
+    dispatcher maps to a timeout row."""
     doc = _Document(payload)
     texts = []
+    spans: list[tuple[str, int, int]] = []
     records = len(doc.objects)
+    start = 0
     for page, resources in doc.pages():
         check_deadline()
         content = _page_content(doc, page)
@@ -579,4 +586,12 @@ def extract_pdf_text(payload: bytes) -> tuple[str, int]:
         records += ops
         if t:
             texts.append(t)
-    return "\n".join(texts), records
+            spans.append(("page", start, start + len(t)))
+            start += len(t) + 1  # the joining newline
+    return "\n".join(texts), records, spans
+
+
+def extract_pdf_text(payload: bytes) -> tuple[str, int]:
+    """(text, records_decoded) — extract_pdf_parts without the spans."""
+    text, records, _ = extract_pdf_parts(payload)
+    return text, records

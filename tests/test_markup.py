@@ -172,3 +172,14 @@ def test_pipeline_markup_prefix_end_to_end(spark):
     assert out[("c2", 0)]["status"] == "ok"
     assert out[("c2", 0)]["text"] == "inline"
     assert out[("c2", 1)]["status"] == "ok"
+
+
+def test_block_spans_slice_the_text():
+    from b2xtranslator_spark.formats.markup import extract_html_parts
+
+    text, _, spans = extract_html_parts(FULL_PAGE)
+    assert [p for p, _, _ in spans] == ["block"] * len(spans)
+    assert [text[s:e] for _, s, e in spans] == text.split("\n")
+    # pipeline carries them through
+    res = extract_payload_text(FULL_PAGE.encode())
+    assert res.metrics["spans"] == spans

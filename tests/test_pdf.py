@@ -349,3 +349,23 @@ def test_hostile_giant_bfrange_is_bounded():
     assert time.perf_counter() - t0 < 10
     # code 0x41 lies inside the capped materialized prefix: 'A' + 0x41
     assert text == chr(0x41 + 0x41)
+
+
+def test_page_spans_slice_the_text():
+    from b2xtranslator_spark.formats.pdf import extract_pdf_parts
+
+    pdf = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R 5 0 R]/Count 2>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(b"BT (page one text) Tj ET"),
+            5: b"<</Type/Page/Parent 2 0 R/Contents 6 0 R>>",
+            6: _content(b"BT (page two text) Tj ET"),
+        }
+    )
+    text, _, spans = extract_pdf_parts(pdf)
+    assert [text[s:e] for _, s, e in spans] == ["page one text", "page two text"]
+    assert [p for p, _, _ in spans] == ["page", "page"]
+    res = extract_payload_text(pdf)
+    assert res.metrics["spans"] == spans
