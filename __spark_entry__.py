@@ -928,8 +928,9 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1.0 - len(list_distinct(ls)) / len(ls)
                               ELSE 0.0 END, 6) AS dup_line_frac,
                    round(wc.cw / greatest(len(w.ws), 1), 6) AS top_word_frac,
-                   round(2 * coalesce(bc.cb, 0)
-                         / greatest(len(w.ws), 1), 6) AS top_bigram_frac
+                   round(least(2.0 * coalesce(bc.cb, 0)
+                               / greatest(len(w.ws), 1), 1.0), 6)
+                       AS top_bigram_frac
             FROM w
             JOIN lines USING (doc_id)
             LEFT JOIN wc USING (doc_id)
@@ -965,17 +966,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             lines AS (
+                -- index over ALL document lines, THEN filter: line_no is a
+                -- document position, not a filtered-list position
                 SELECT doc_id,
                        list_filter(
                            list_transform(string_split(text, chr(10)),
-                                          x -> trim(x)),
-                           x -> length(x) >= 20) AS ls
+                                          (x, i) -> {'para': trim(x),
+                                                     'line_no': i - 1}),
+                           s -> length(s.para) >= 20) AS ls
                 FROM d
             ),
             para0 AS (
-                SELECT doc_id,
-                       unnest(list_transform(
-                           ls, (x, i) -> {'para': x, 'line_no': i - 1})) AS p
+                SELECT doc_id, unnest(ls) AS p
                 FROM lines
             ),
             para AS (

@@ -118,8 +118,13 @@ class _TextFold(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, float]] = []
         self._buf: list[str] = []
-        self._cells: list[str] | None = None  # active table row
-        self._drop = 0
+        self._cells: list[str] | None = None  # active (innermost) table row
+        self._row_stack: list[list[str] | None] = []  # outer rows (nesting)
+        # open DROP subtrees as a STACK of tag names, not a counter: an end
+        # tag truncates at its last matching open (HTML5 implicit-close —
+        # </select> also closes any open <option>), so unclosed implicit
+        # tags can never leak depth and suppress the rest of the document
+        self._drop_stack: list[str] = []
         self._pre = 0
         self._link = 0  # <a> nesting depth
         self._link_chars = 0
@@ -152,19 +157,28 @@ class _TextFold(HTMLParser):
         self._link_chars = 0
         self._total_chars = 0
 
+    @property
+    def _drop(self) -> int:
+        return len(self._drop_stack)
+
     # -- parser events -----------------------------------------------------
-    def handle_starttag(self, tag, attrs):  # noqa: D102
+    def handle_starttag(self, tag, attrs, self_closing=False):  # noqa: D102
         self.elements += 1
         if self.elements % 512 == 0:
             check_deadline()
         if tag in _DROP:
-            if tag not in _VOID:
-                self._drop += 1
+            if tag not in _VOID and not self_closing:
+                # a repeated non-nesting tag (<option>a<option>b) implicitly
+                # closes its predecessor: replace, don't push
+                if not (self._drop_stack and self._drop_stack[-1] == tag):
+                    self._drop_stack.append(tag)
             return
         if self._drop:
             return
         if tag == "tr":
             self._flush()
+            # nested table: the outer row's collected cells must survive
+            self._row_stack.append(self._cells)
             self._cells = []
             return
         if tag in ("td", "th"):
@@ -180,13 +194,17 @@ class _TextFold(HTMLParser):
         if tag in _BLOCK:
             self._flush()
 
-    def handle_startendtag(self, tag, attrs):  # <br/> etc.
-        self.handle_starttag(tag, attrs)
+    def handle_startendtag(self, tag, attrs):  # <br/>, <iframe/>, ...
+        # a self-closing element has no subtree: never push drop depth
+        self.handle_starttag(tag, attrs, self_closing=True)
 
     def handle_endtag(self, tag):  # noqa: D102
         if tag in _DROP:
-            if tag not in _VOID and self._drop:
-                self._drop -= 1
+            if tag in self._drop_stack:
+                # truncate at the last open of this tag: everything pushed
+                # above it was implicitly closed by this end tag
+                idx = len(self._drop_stack) - 1 - self._drop_stack[::-1].index(tag)
+                del self._drop_stack[idx:]
             return
         if self._drop:
             return
@@ -201,7 +219,8 @@ class _TextFold(HTMLParser):
                 tail = _collapse("".join(self._buf))
                 self._buf.clear()
                 cells = self._cells + ([tail] if tail else [])
-                self._cells = None
+                # restore the enclosing row (nested table), if any
+                self._cells = self._row_stack.pop() if self._row_stack else None
                 row = "\t".join(cells)
                 if row.strip():
                     self._emit(row)

@@ -403,6 +403,15 @@ _BFRANGE_ENTRY_RE = re.compile(
 _MAX_CMAP_ENTRIES = 65536  # hostile-input cap on materialized mappings
 
 
+def _safe_chr(code: int) -> str:
+    """chr() that never yields a lone UTF-16 surrogate — a surrogate in a
+    Python str crashes Arrow/UTF-8 serialization later, turning one corrupt
+    CMap into a task failure instead of a row-status error."""
+    if 0xD800 <= code <= 0xDFFF or code >= 0x110000 or code < 0:
+        return "\ufffd"
+    return chr(code)
+
+
 def _hex_to_text(h: bytes) -> str:
     """CMap destination hex = UTF-16BE code units."""
     raw = bytes.fromhex(h.decode("ascii"))
@@ -452,7 +461,9 @@ class _FontDecoder:
                     for i, code in enumerate(range(lo, hi + 1)):
                         if len(cmap) >= _MAX_CMAP_ENTRIES:
                             break
-                        cmap[code] = base_prefix + chr((base_last + i) & 0xFFFF)
+                        cmap[code] = base_prefix + _safe_chr(
+                            (base_last + i) & 0xFFFF
+                        )
                 else:
                     dsts = _HEX_RE.findall(entry.group(4))
                     for code, dst in zip(range(lo, hi + 1), dsts):
@@ -476,7 +487,7 @@ class _FontDecoder:
             elif w == 1:
                 out.append(raw[i : i + 1].decode("latin-1"))
             else:
-                out.append(chr(code) if code < 0x110000 else "�")
+                out.append(_safe_chr(code))
         tail = len(raw) % w
         if tail:  # trailing partial code: pass through as Latin-1
             out.append(raw[-tail:].decode("latin-1"))
@@ -498,6 +509,7 @@ def _extract_content_text(
     ops = 0
     fonts = fonts or {}
     decoder = _LATIN1
+    tm_y = None  # last Tm vertical position within the current BT
 
     def show(raw: bytes) -> None:
         nonlocal line_open
@@ -552,7 +564,18 @@ def _extract_content_text(
             if len(operands) >= 2 and isinstance(operands[-2], str):
                 decoder = fonts.get(operands[-2], _LATIN1)
         elif op == "Tm":
-            newline()
+            # a b c d e f Tm: break only when the VERTICAL position (f)
+            # changes — horizontally repositioned runs at the same y
+            # (justified text, columns) stay on one line per the documented
+            # "Tm with a new y" rule
+            y = operands[-1] if operands and isinstance(
+                operands[-1], (int, float)
+            ) else None
+            if y is None or tm_y is None or y != tm_y:
+                newline()
+            tm_y = y
+        elif op == "BT":
+            tm_y = None
         elif op == "ET":
             newline()
         operands = []

@@ -74,9 +74,11 @@ def last_event_asof_tolerance(
     # seconds — each exactly merge_asof's tolerance semantics for that type.
     # A cast-to-timestamp epoch diff would shift NTZ values by the session
     # tz, which does NOT cancel across a DST boundary (off by ±3600s).
-    # Sub-second precision is preserved (no unix_timestamp truncation).
+    # Sub-second precision preserved on BOTH sides: the quoted fractional
+    # interval literal keeps microseconds (a bare int(tolerance_s) would
+    # silently truncate a float tolerance to whole seconds).
     in_tol = F.col(ts) <= marker_ts + F.expr(
-        f"INTERVAL {int(tolerance_s)} SECOND"
+        f"INTERVAL '{float(tolerance_s):.6f}' SECOND"
     )
     return events.select(
         "event_id",

@@ -403,13 +403,13 @@ def paragraph_duplicates(documents: DataFrame, min_len: int = 20) -> DataFrame:
     a million pages — pre-aggregates inside every task before a single
     combined row per partition shuffles, exactly the top_tokens argument).
     md5 keys keep the operator oracle-portable."""
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
-        lambda x: F.length(x) >= min_len,
-    )
+    # posexplode BEFORE the length filter so line_no indexes the DOCUMENT's
+    # lines (what a consumer edits/keeps), not positions in a filtered list
+    # that shift with every short/blank line above
+    all_lines = F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x))
     para = documents.select(
-        "doc_id", F.posexplode(lines).alias("line_no", "para")
-    )
+        "doc_id", F.posexplode(all_lines).alias("line_no", "para")
+    ).where(F.length("para") >= min_len)
     return (
         para.groupBy(F.md5(F.encode(F.col("para"), "UTF-8")).alias("para_fp"))
         .agg(
@@ -417,8 +417,10 @@ def paragraph_duplicates(documents: DataFrame, min_len: int = 20) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.min("doc_id").alias("keeper_doc_id"),
             # arg-min over (doc_id, line_no) as one scalar key — the form
-            # both engines aggregate identically (line counts < 10^6/doc
-            # enforced by the encoding, fine for paragraph-shaped rows)
+            # both engines aggregate identically. ASSUMPTION (documented,
+            # not enforced): < 10^6 lines per document; a longer document
+            # would alias into the next doc_id. Transcript-corpus documents
+            # are orders of magnitude below this.
             (
                 F.min(F.col("doc_id") * 1000000 + F.col("line_no"))
                 % 1000000

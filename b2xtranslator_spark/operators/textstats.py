@@ -340,9 +340,15 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         ),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    top_bigram_frac = (
-        F.lit(2) * _max_run_count(bigrams) / F.greatest(n_tokens, F.lit(1))
-    ).cast("double")
+    # overlapping occurrences ('a a a a a': 4 x 'a a' over 5 tokens) can push
+    # 2*count past the token total — clamp to keep the documented [0, 1]
+    # "fraction of tokens covered" contract on degenerate repetition
+    top_bigram_frac = F.least(
+        (
+            F.lit(2) * _max_run_count(bigrams) / F.greatest(n_tokens, F.lit(1))
+        ).cast("double"),
+        F.lit(1.0),
+    )
     return documents.select(
         "doc_id",
         n_lines.alias("n_lines"),

@@ -132,19 +132,29 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             (0, 0, len(passthrough), 0, 0),
         )
 
-    # the oversize gate is a pure len() check — it must run BEFORE the cache
-    # key (an md5 over the full source) so repeated oversize rows never pay
-    # a multi-hundred-MB hash for a result that is never cached. Markup is
-    # carried raw (chars ~ bytes); binary payloads are base64 (3/4 ratio).
-    encoded_len = len(src) - len(PAYLOAD_PREFIX)
+    # the oversize gate must run BEFORE the cache key (an md5 over the full
+    # source) so repeated oversize rows never pay a multi-hundred-MB hash
+    # for a result that is never cached. Binary payloads: exact from the
+    # base64 ratio. Markup: a char count UNDER-measures UTF-8 (CJK/emoji
+    # are 2-4 bytes/char), so chars > cap rejects immediately (UTF-8 is
+    # >= 1 byte/char) and anything smaller is measured by an exact encode —
+    # bounded at cap chars, i.e. never the multi-GB worst case the gate
+    # exists to stop.
     if is_markup:
-        encoded_len = (len(src) - len(MARKUP_PREFIX)) * 4 // 3
-    if encoded_len // 4 * 3 > _MAX_PAYLOAD_BYTES:
+        raw = src[len(MARKUP_PREFIX) :]
+        byte_len = (
+            len(raw)
+            if len(raw) > _MAX_PAYLOAD_BYTES
+            else len(raw.encode("utf-8"))
+        )
+    else:
+        byte_len = (len(src) - len(PAYLOAD_PREFIX)) // 4 * 3
+    if byte_len > _MAX_PAYLOAD_BYTES:
         return (
             "",
             [],
             "oversize",
-            f"payload ~{encoded_len // 4 * 3} bytes exceeds "
+            f"payload ~{byte_len} bytes exceeds "
             f"B2X_MAX_PAYLOAD_BYTES={_MAX_PAYLOAD_BYTES}",
             (0, 0, 0, 1, 0),
         )

@@ -183,3 +183,48 @@ def test_block_spans_slice_the_text():
     # pipeline carries them through
     res = extract_payload_text(FULL_PAGE.encode())
     assert res.metrics["spans"] == spans
+
+
+def test_self_closing_and_implicit_drop_tags_do_not_leak():
+    """Review finding (r3, second pass): XHTML self-closing drop tags and
+    HTML5 implicit-close sequences must not suppress the document tail."""
+    text, _ = extract_html_text("<p>before</p><iframe/><p>after</p>")
+    assert text == "before\nafter"
+    text, _ = extract_html_text(
+        "<p>a</p><select><option>x<option>y</select><p>b</p>"
+    )
+    assert text == "a\nb"
+    # end tag closes everything opened above its matching start
+    text, _ = extract_html_text(
+        "<p>a</p><nav><select><option>m</select>menu</nav><p>b</p>"
+    )
+    assert text == "a\nb"
+
+
+def test_nested_table_keeps_outer_cells():
+    """Review finding (r3, second pass): an inner table must not clobber
+    the outer row's already-collected cells."""
+    text, _ = extract_html_text(
+        "<table><tr><td>A</td><td><table><tr><td>B</td></tr></table>"
+        "</td><td>C</td></tr></table>"
+    )
+    assert "A" in text and "B" in text and "C" in text
+
+
+def test_markup_oversize_gate_measures_bytes():
+    """Review finding (r3, second pass): a mostly-multibyte markup payload
+    must be gated on its UTF-8 byte size, not its char count."""
+    import b2xtranslator_spark.pipeline as pl
+
+    old = pl._MAX_PAYLOAD_BYTES
+    pl._MAX_PAYLOAD_BYTES = 64 * 1024
+    try:
+        # ~43k chars of 3-byte CJK = ~128KB utf-8: under the cap in chars,
+        # over it in bytes
+        big = pl.MARKUP_PREFIX + "<div>" + "中" * 43000 + "</div>"
+        assert pl._extract_one(big, None)[2] == "oversize"
+        # same char count in ASCII stays under the byte cap
+        ok = pl.MARKUP_PREFIX + "<div>" + "x" * 43000 + "</div>"
+        assert pl._extract_one(ok, None)[2] == "ok"
+    finally:
+        pl._MAX_PAYLOAD_BYTES = old

@@ -503,6 +503,15 @@ def test_repetition_stats_flags_boilerplate(spark):
     # "click here" appears 3x of 6 tokens -> 2*3/6
     assert out[4]["top_bigram_frac"] == 1.0
     assert out[5]["n_lines"] == 0 and out[5]["dup_line_frac"] == 0.0
+    # degenerate overlap ('a a a a a': 4 overlapping 'a a' over 5 tokens)
+    # must clamp at 1.0, not read 1.6
+    extra = spark.createDataFrame(
+        [(6, "a a a a a", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    from b2xtranslator_spark.operators.textstats import repetition_stats as _rs
+
+    assert _rs(extra).collect()[0]["top_bigram_frac"] == 1.0
 
 
 def test_repetition_stats_is_shuffle_free(spark):

@@ -369,3 +369,32 @@ def test_page_spans_slice_the_text():
     assert [p for p, _, _ in spans] == ["page", "page"]
     res = extract_payload_text(pdf)
     assert res.metrics["spans"] == spans
+
+
+def test_surrogate_cmap_destinations_stay_arrow_safe():
+    """Review finding (r3, second pass): a bfrange landing in the UTF-16
+    surrogate block must never emit lone surrogates (they crash Arrow
+    serialization, turning a corrupt CMap into a task failure)."""
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0001> <0003> <D7FF>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    text, _ = extract_pdf_text(
+        _font_pdf(cmap, b"BT /F1 12 Tf <000100020003> Tj ET")
+    )
+    text.encode("utf-8")  # must not raise
+    assert text[0] == "퟿" and text[1] == "�" and text[2] == "�"
+
+
+def test_tm_same_y_stays_on_one_line():
+    """Review finding (r3, second pass): Tm at an unchanged y is a
+    horizontal reposition (justified text/columns), not a line break."""
+    ops = (
+        b"BT 1 0 0 1 10 700 Tm (Hello) Tj "
+        b"1 0 0 1 60 700 Tm ( World) Tj "
+        b"1 0 0 1 10 680 Tm (next line) Tj ET"
+    )
+    text, _ = extract_pdf_text(_one_page(ops))
+    assert text == "Hello World\nnext line"
