@@ -53,6 +53,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
     deterministic_sample,
     fingerprint,
+    corpus_filter,
     language_id,
     pii_scan,
     quality_score,
@@ -432,6 +433,12 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining filter decision per document (quality x
+    repetition x language x exact-dup), with a deterministic reason."""
+    return corpus_filter(_table(spark, sf_dir, "documents"))
+
+
 def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan over documents with deterministically planted PII (an email
     and an ip derived from doc_id, appended identically in the oracle) so
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_repetition": _q_repetition,
         "text_pii_scan": _q_pii_scan,
+        "corpus_filter_pipeline": _q_corpus_filter,
         "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
@@ -991,6 +999,92 @@ def oracle_sql() -> dict[str, str]:
             FROM para
             GROUP BY 1
             HAVING count(*) > 1
+        """,
+        # composite filter: the SAME quality / language / repetition /
+        # dup-keeper formulations as their standalone oracles, joined into
+        # one keep/drop decision with a fixed reason order
+        "corpus_filter_pipeline": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       round(0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                    / greatest(length(text), 1))
+                           + 0.3 * (len(list_distinct(list_filter({_sql_words()},
+                                        x -> x IN ({stop_en})))) / 10.0)
+                           + 0.2 * least((length(text)
+                                          / greatest(len({_sql_words()}), 1)) / 10.0, 1.0)
+                           + 0.1 * (1.0 - least((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                                                 / greatest(length(text), 1)) * 10, 1.0)),
+                           6) AS quality
+                FROM documents
+            ),
+            lh AS (
+                SELECT doc_id,
+                       {lang_hits["de"]} AS h_de, {lang_hits["en"]} AS h_en,
+                       {lang_hits["es"]} AS h_es, {lang_hits["fr"]} AS h_fr
+                FROM documents
+            ),
+            lp AS (SELECT doc_id, {lang_case} AS pred_lang FROM lh),
+            w AS (
+                SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS ls
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                               p -> p[1] || ' ' || p[2]),
+                           x -> x IS NOT NULL) AS bgs
+                FROM w
+            ),
+            bgt AS (SELECT doc_id, unnest(bgs) AS g FROM b),
+            bc AS (
+                SELECT doc_id, max(c) AS cb FROM (
+                    SELECT doc_id, g, count(*) AS c FROM bgt GROUP BY 1, 2
+                ) GROUP BY 1
+            ),
+            rep AS (
+                SELECT w.doc_id,
+                       round(CASE WHEN len(ls) > 0
+                                  THEN 1.0 - len(list_distinct(ls)) / len(ls)
+                                  ELSE 0.0 END, 6) AS dup_line_frac,
+                       round(least(2.0 * coalesce(bc.cb, 0)
+                                   / greatest(len(w.ws), 1), 1.0), 6)
+                           AS top_bigram_frac
+                FROM w
+                JOIN lines USING (doc_id)
+                LEFT JOIN bc USING (doc_id)
+            ),
+            fp AS (SELECT doc_id, md5({norm}) AS fp FROM documents),
+            keeper AS (
+                SELECT fp, min(doc_id) AS keeper_doc_id FROM fp GROUP BY 1
+            ),
+            dup AS (
+                SELECT doc_id, doc_id <> keeper_doc_id AS is_dup
+                FROM fp JOIN keeper USING (fp)
+            ),
+            joined AS (
+                SELECT q.doc_id,
+                       CASE WHEN is_dup THEN 'duplicate'
+                            WHEN pred_lang NOT IN ('en') THEN 'lang'
+                            WHEN quality < 0.5 THEN 'quality'
+                            WHEN dup_line_frac > 0.3 THEN 'dup_lines'
+                            WHEN top_bigram_frac > 0.5 THEN 'bigram'
+                            ELSE 'ok' END AS reason
+                FROM q
+                JOIN rep USING (doc_id)
+                JOIN lp USING (doc_id)
+                JOIN dup USING (doc_id)
+            )
+            SELECT doc_id, reason = 'ok' AS keep, reason FROM joined
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

@@ -391,6 +391,54 @@ def pii_scan(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_filter(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+    langs: tuple = ("en",),
+) -> DataFrame:
+    """The end-to-end pretraining corpus filter: compose quality scoring,
+    Gopher repetition signals, language id and exact-duplicate removal into
+    one per-document keep/drop decision with a deterministic reason (the
+    FIRST failed check in a fixed order: duplicate > lang > quality >
+    dup_lines > bigram).
+
+    Plan shape: three pure-map operators column-joined on doc_id plus the
+    exact-dup keeper (one groupBy on the content hash). The doc_id joins
+    are co-partitioned after the first shuffle; at corpus scale this is
+    scan + 1 content-hash shuffle + doc_id-aligned joins — no operator
+    re-reads the corpus."""
+    q = quality_score(documents).select("doc_id", "quality")
+    r = repetition_stats(documents).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac"
+    )
+    lang = language_id(documents).select("doc_id", "pred_lang")
+    fp = documents.select("doc_id", _content_md5().alias("fp"))
+    keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id"))
+    dup = fp.join(keeper, "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup")
+    )
+    lang_arr = F.array(*[F.lit(x) for x in langs])
+    joined = q.join(r, "doc_id").join(lang, "doc_id").join(dup, "doc_id")
+    reason = (
+        F.when(F.col("is_dup"), F.lit("duplicate"))
+        .when(~F.array_contains(lang_arr, F.col("pred_lang")), F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(
+            F.col("dup_line_frac") > max_dup_line_frac, F.lit("dup_lines")
+        )
+        .when(
+            F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("bigram")
+        )
+    )
+    return joined.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("ok")).alias("reason"),
+    )
+
+
 def top_tokens_sketch(
     documents: DataFrame,
     k: int = 20,

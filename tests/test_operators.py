@@ -601,3 +601,33 @@ def test_paragraph_duplicates_groups_across_docs(spark):
     assert r["n_occurrences"] == 3 and r["n_docs"] == 3
     assert r["keeper_doc_id"] == 2
     assert r["keeper_line_no"] == 0  # footer is doc 2's first kept line
+
+
+def test_corpus_filter_reasons_and_order(spark):
+    """The composite filter: planted docs trip each check, reason order is
+    fixed (duplicate > lang > quality > dup_lines > bigram), clean docs
+    keep."""
+    from b2xtranslator_spark.operators.textstats import corpus_filter
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that "
+        "is that for the test of time with good words to read"
+    )
+    rows = [
+        (1, clean, "en", "s", 1),
+        (2, clean, "en", "s", 1),          # exact dup of 1 -> duplicate
+        (3, "der die und das ist nicht mit ein zu den", "de", "s", 1),  # lang
+        (4, "buy now\nbuy now\nbuy now\n" + clean, "en", "s", 1),  # dup_lines
+        (5, "the the the the the the the the the the", "en", "s", 1),  # bigram*
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in corpus_filter(docs).collect()}
+    assert out[1] == (True, "ok")
+    assert out[2] == (False, "duplicate")
+    assert out[3] == (False, "lang")
+    assert out[4] == (False, "dup_lines")
+    # doc 5 is all stopwords: quality stays high (stop_ratio), but the top
+    # bigram covers everything -> first failing check in order is bigram
+    assert out[5][0] is False and out[5][1] in ("bigram", "quality")
