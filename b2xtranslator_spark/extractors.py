@@ -45,6 +45,7 @@ def extract_payload_text(
     extract_urls: bool = True,
     budget_seconds: float = DEFAULT_BUDGET_SECONDS,
     force_kind: str | None = None,
+    html_main_content: bool = False,
 ) -> ExtractResult:
     """Extract plain text from one binary document payload.
 
@@ -74,7 +75,9 @@ def extract_payload_text(
             force_kind is None and looks_like_markup(payload)
         ):
             res.kind = "html"
-            res.text, elements, spans = extract_html_parts(payload)
+            res.text, elements, spans = extract_html_parts(
+                payload, main_content=html_main_content
+            )
             res.metrics["records_decoded"] = elements
             res.metrics["spans"] = spans
         elif payload.startswith(PDF_MAGIC):

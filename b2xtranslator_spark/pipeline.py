@@ -102,6 +102,11 @@ _MAX_PAYLOAD_BYTES = int(os.environ.get("B2X_MAX_PAYLOAD_BYTES", str(256 << 20))
 # OUTPUT frame + its Arrow serialization buffer are extra copies — yielding
 # in byte-bounded slices caps that additional footprint per batch.
 _OUT_CHUNK_BYTES = int(os.environ.get("B2X_OUT_CHUNK_BYTES", str(64 << 20)))
+# opt-in link-density main-content heuristic for markup payloads (the DOM
+# boilerplate rule beyond structural tag stripping; formats/markup.py)
+_MARKUP_MAIN_CONTENT = os.environ.get(
+    "B2X_MARKUP_MAIN_CONTENT", ""
+).lower() in ("1", "true", "yes")
 
 
 def _extract_one(text: str | None, tool: str | None) -> tuple:
@@ -176,7 +181,10 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
             return hit
     if is_markup:
         payload = src[len(MARKUP_PREFIX) :].encode("utf-8")
-        res = extract_payload_text(payload, force_kind="html")
+        res = extract_payload_text(
+            payload, force_kind="html",
+            html_main_content=_MARKUP_MAIN_CONTENT,
+        )
     else:
         try:
             payload = base64.b64decode(src[len(PAYLOAD_PREFIX) :])

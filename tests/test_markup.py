@@ -228,3 +228,26 @@ def test_markup_oversize_gate_measures_bytes():
         assert pl._extract_one(ok, None)[2] == "ok"
     finally:
         pl._MAX_PAYLOAD_BYTES = old
+
+
+def test_main_content_flag_via_package_boundary():
+    res = extract_payload_text(
+        b"<body><div><a>Products</a> <a>Pricing</a> <a>Docs</a></div>"
+        b"<p>Actual article content sentence.</p></body>",
+        html_main_content=True,
+    )
+    assert res.text == "Actual article content sentence."
+    # pipeline env knob
+    import b2xtranslator_spark.pipeline as pl
+
+    old = pl._MARKUP_MAIN_CONTENT
+    pl._MARKUP_MAIN_CONTENT = True
+    try:
+        out = pl._extract_one(
+            pl.MARKUP_PREFIX
+            + "<body><div><a>x</a><a>y</a><a>z</a></div><p>Kept content line.</p></body>",
+            None,
+        )
+        assert out[0] == "Kept content line."
+    finally:
+        pl._MARKUP_MAIN_CONTENT = old
