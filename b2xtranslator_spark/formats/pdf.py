@@ -225,6 +225,59 @@ def _parse_value(buf: bytes, pos: int):
     return None, pos + 1  # unparseable byte: skip
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, '>' is EOD, an
+    odd trailing digit pads with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        return b""
+
+
+def _ascii_85_decode(data: bytes) -> bytes:
+    """7.4.3 ASCII85Decode: optional <~ lead, ~> EOD, whitespace ignored,
+    'z' zero-group shorthand (stdlib a85decode handles both)."""
+    import base64 as _b64
+
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    try:
+        return _b64.a85decode(data)
+    except ValueError:
+        return b""
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """7.4.5 RunLengthDecode: length byte n in 0..127 copies n+1 literals,
+    129..255 repeats the next byte 257-n times, 128 is EOD."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ln = data[pos]
+        pos += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[pos : pos + ln + 1]
+            pos += ln + 1
+        else:
+            if pos < n:
+                out += data[pos : pos + 1] * (257 - ln)
+                pos += 1
+    return bytes(out)
+
+
 class _Document:
     def __init__(self, buf: bytes):
         self.buf = buf
@@ -287,7 +340,8 @@ class _Document:
         filt = self.resolve(sdict.get("/Filter")) if isinstance(sdict, dict) else None
         filters = filt if isinstance(filt, list) else [filt] if filt else []
         for f in filters:
-            if self.resolve(f) == "/FlateDecode":
+            name = self.resolve(f)
+            if name == "/FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error:
@@ -295,8 +349,14 @@ class _Document:
                         data = zlib.decompressobj().decompress(data)
                     except zlib.error:
                         return b""
+            elif name == "/ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif name == "/ASCII85Decode":
+                data = _ascii_85_decode(data)
+            elif name == "/RunLengthDecode":
+                data = _run_length_decode(data)
             # unknown filters (DCT, LZW, ...) pass through undecoded; text
-            # content in scope uses Flate or none
+            # content in scope uses the ones above or none
         return data
 
     # -- page tree ---------------------------------------------------------

@@ -398,3 +398,42 @@ def test_tm_same_y_stays_on_one_line():
     )
     text, _ = extract_pdf_text(_one_page(ops))
     assert text == "Hello World\nnext line"
+
+
+def test_asciihex_ascii85_runlength_filters():
+    import base64
+    import zlib as _zlib
+
+    ops = b"BT (filtered text) Tj ET"
+
+    def page_with(body: bytes, filt: bytes) -> bytes:
+        content = (
+            b"<</Length " + str(len(body)).encode() + b"/Filter" + filt
+            + b">>stream\n" + body + b"\nendstream"
+        )
+        return _pdf(
+            {
+                1: b"<</Type/Catalog/Pages 2 0 R>>",
+                2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+                3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+                4: content,
+            }
+        )
+
+    hexed = ops.hex().encode() + b">"
+    assert extract_pdf_text(page_with(hexed, b"/ASCIIHexDecode"))[0] == "filtered text"
+
+    a85 = base64.a85encode(ops) + b"~>"
+    assert extract_pdf_text(page_with(a85, b"/ASCII85Decode"))[0] == "filtered text"
+
+    # run-length: literal run + a repeat run inside the shown string
+    rl_ops = b"BT (ab" + b"c" * 10 + b") Tj ET"
+    rl = bytes([5]) + b"BT (ab" + bytes([256 - 9]) + b"c" + bytes([4]) + b") Tj" + bytes([1]) + b" ET" + bytes([128])
+    assert extract_pdf_text(page_with(rl, b"/RunLengthDecode"))[0] == "ab" + "c" * 10
+
+    # chained: ASCII85 over Flate (decode order = filter array order)
+    chained = base64.a85encode(_zlib.compress(ops)) + b"~>"
+    assert (
+        extract_pdf_text(page_with(chained, b"[/ASCII85Decode/FlateDecode]"))[0]
+        == "filtered text"
+    )
