@@ -296,6 +296,52 @@ class _Document:
                 data = self._read_stream(val, pos)
             # later definition wins (incremental update, last-edit-wins)
             self.objects[num] = (val, data)
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ compressed object streams (/Type/ObjStm, 7.5.7): most
+        modern writers pack non-stream objects inside one Flate stream, so
+        the textual brute scan alone would miss the catalog/pages/fonts
+        entirely. Each ObjStm carries /N (count) and /First (offset of the
+        first object), preceded by N (objnum, relative-offset) integer
+        pairs. Members never OVERRIDE a directly-scanned definition (a
+        direct 'N 0 obj' in an incremental update supersedes the packed
+        copy); among themselves, later file-order streams win."""
+        stm_nums = [
+            num
+            for num, (val, data) in self.objects.items()
+            if isinstance(val, dict)
+            and val.get("/Type") == "/ObjStm"
+            and data is not None
+        ]
+        direct = set(self.objects)
+        for num in stm_nums:
+            check_deadline()
+            payload = self.stream_data(_Ref((num, 0)))
+            if not payload:
+                continue
+            val = self.objects[num][0]
+            n = self.resolve(val.get("/N"))
+            first = self.resolve(val.get("/First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                continue
+            n = max(0, min(n, 65536))  # hostile header cap
+            # header: N pairs of integers (objnum offset)
+            pos = 0
+            pairs = []
+            for _ in range(2 * n):
+                v, npos = _parse_value(payload, pos)
+                if npos == pos or not isinstance(v, int):
+                    break
+                pairs.append(v)
+                pos = npos
+            for objnum, off in zip(pairs[::2], pairs[1::2]):
+                if objnum in direct:  # direct definitions win
+                    continue
+                if off < 0 or first + off >= len(payload):
+                    continue
+                obj, _ = _parse_value(payload, first + off)
+                self.objects[objnum] = (obj, None)
 
     def _read_stream(self, sdict, pos: int) -> bytes:
         pos += len(b"stream")

@@ -437,3 +437,63 @@ def test_asciihex_ascii85_runlength_filters():
         extract_pdf_text(page_with(chained, b"[/ASCII85Decode/FlateDecode]"))[0]
         == "filtered text"
     )
+
+
+def _objstm_pdf() -> bytes:
+    """A modern-layout PDF: catalog/pages/page packed inside a Flate
+    /ObjStm, only the content stream and the ObjStm itself as direct
+    objects (the shape every PDF 1.5+ writer emits)."""
+    import zlib as _zlib
+
+    members = [
+        (1, b"<</Type/Catalog/Pages 2 0 R>>"),
+        (2, b"<</Type/Pages/Kids[3 0 R]/Count 1>>"),
+        (3, b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>"),
+    ]
+    bodies = b""
+    header = b""
+    for num, body in members:
+        header += b"%d %d " % (num, len(bodies))
+        bodies += body + b" "
+    payload = header + bodies
+    first = len(header)
+    packed = _zlib.compress(payload)
+    objstm = (
+        b"<</Type/ObjStm/N 3/First " + str(first).encode()
+        + b"/Length " + str(len(packed)).encode()
+        + b"/Filter/FlateDecode>>stream\n" + packed + b"\nendstream"
+    )
+    return _pdf(
+        {
+            9: objstm,
+            4: _content(b"BT (from an object stream) Tj ET"),
+        }
+    )
+
+
+def test_object_stream_members_are_found():
+    text, _ = extract_pdf_text(_objstm_pdf())
+    assert text == "from an object stream"
+
+
+def test_direct_definition_beats_objstm_member():
+    # an incremental update appends a DIRECT page 3 pointing at new content
+    update = (
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 6 0 R>>\nendobj\n"
+        b"6 0 obj\n" + _content(b"BT (updated revision) Tj ET") + b"\nendobj\n"
+    )
+    text, _ = extract_pdf_text(_objstm_pdf() + update)
+    assert text == "updated revision"
+
+
+def test_hostile_objstm_never_crashes():
+    import numpy as np
+
+    base = bytearray(_objstm_pdf())
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        b = bytearray(base)
+        for i in rng.integers(0, len(b), 6):
+            b[i] = int(rng.integers(0, 256))
+        res = extract_payload_text(bytes(b))
+        assert res.status in ("ok", "parse_error", "unsupported", "timeout", "encrypted")
