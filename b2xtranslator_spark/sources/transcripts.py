@@ -83,9 +83,61 @@ def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
         ("synthetic.xls", build_xls_fixture()),
         ("synthetic.ppt", build_ppt_fixture()),
         ("synthetic-incremental.ppt", build_ppt_incremental_fixture()),
+        ("synthetic.html", build_html_fixture()),
+        ("synthetic.pdf", build_pdf_fixture()),
     ):
         _add(name, payload, normalize_text(expected) or "", False)
     return pd.DataFrame(rows)
+
+
+def build_html_fixture() -> tuple[bytes, str]:
+    """Deterministic HTML page + hand-declared expected extraction — the
+    markup leg rides the flagship corpus the same way the synthetic
+    xls/ppt fixtures do (dispatched by the payload sniff, no new prefix)."""
+    html = (
+        b"<!DOCTYPE html><html><head><title>skip</title>"
+        b"<style>p{margin:0}</style></head><body>"
+        b'<nav><a href="/">Home</a><a href="/d">Docs</a></nav>'
+        b"<h1>Synthetic Markup Fixture</h1>"
+        b"<p>Paragraph one with   collapsed\nwhitespace.</p>"
+        b"<table><tr><td>cell a</td><td>cell b</td></tr></table>"
+        b"<ul><li>item one</li><li>item two</li></ul>"
+        b"<footer>(c) nobody</footer><script>x()</script></body></html>"
+    )
+    expected = (
+        "Synthetic Markup Fixture\n"
+        "Paragraph one with collapsed whitespace.\n"
+        "cell a\tcell b\n"
+        "item one\n"
+        "item two"
+    )
+    return html, expected
+
+
+def build_pdf_fixture() -> tuple[bytes, str]:
+    """Deterministic two-line Flate PDF + expected text (the PDF leg of the
+    flagship corpus; dispatched by the %PDF- magic)."""
+    import zlib
+
+    ops = (
+        b"BT /F1 12 Tf (Synthetic PDF fixture line one) Tj "
+        b"0 -14 Td (and line two from a compressed stream) Tj ET"
+    )
+    data = zlib.compress(ops)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n"
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 4 0 R>>\nendobj\n"
+        b"4 0 obj\n<</Length " + str(len(data)).encode()
+        + b"/Filter/FlateDecode>>stream\n" + data + b"\nendstream\nendobj\n"
+        b"trailer<</Root 1 0 R>>\n%%EOF\n"
+    )
+    expected = (
+        "Synthetic PDF fixture line one\n"
+        "and line two from a compressed stream"
+    )
+    return pdf, expected
 
 
 def _skeleton(n_turns: int, doc_fraction: float, seed: int, n_samples: int) -> pd.DataFrame:

@@ -159,3 +159,19 @@ def test_oversize_payload_and_output_chunking(spark, monkeypatch):
     monkeypatch.setattr(pl, "_MAX_PAYLOAD_BYTES", 256 << 20)
     ok = pl._extract_one(payload, None)
     assert ok[2] == "ok"
+
+
+def test_markup_and_pdf_fixtures_ride_the_flagship(spark, corpus):
+    """The html/pdf corpus members must be present, sampled turns of them
+    must extract byte-identically, and their kinds dispatch correctly."""
+    import base64
+
+    from b2xtranslator_spark.extractors import extract_payload_text
+
+    rows = corpus[corpus["sample_name"].isin(["synthetic.html", "synthetic.pdf"])]
+    assert len(rows) == 2
+    for _, r in rows.iterrows():
+        payload = base64.b64decode(r["payload_b64"][len("b64cfb:"):])
+        res = extract_payload_text(payload)
+        assert res.status == "ok"
+        assert res.kind == ("html" if r["sample_name"].endswith("html") else "pdf")
