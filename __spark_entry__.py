@@ -60,6 +60,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     repetition_stats,
     stratified_sample,
     token_count,
+    top_bigrams,
     token_histogram,
     token_length_quantiles,
     top_tokens,
@@ -433,6 +434,10 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_table(spark, sf_dir, "documents"))
 
 
+def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_bigrams(_table(spark, sf_dir, "documents"))
+
+
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining filter decision per document (quality x
     repetition x language x exact-dup), with a deterministic reason."""
@@ -619,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "text_pii_scan": _q_pii_scan,
         "corpus_filter_pipeline": _q_corpus_filter,
+        "top_bigrams": _q_top_bigrams,
         "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
@@ -1085,6 +1091,26 @@ def oracle_sql() -> dict[str, str]:
                 JOIN dup USING (doc_id)
             )
             SELECT doc_id, reason = 'ok' AS keep, reason FROM joined
+        """,
+        "top_bigrams": """
+            WITH w AS (
+                SELECT string_split(lower(text), ' ') AS ws FROM documents
+            ),
+            b AS (
+                SELECT list_filter(
+                           list_transform(
+                               list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                               p -> CASE WHEN length(p[1]) >= 3
+                                          AND length(p[2]) >= 3
+                                         THEN p[1] || ' ' || p[2] END),
+                           x -> x IS NOT NULL) AS bgs
+                FROM w
+            )
+            SELECT g AS bg, count(*) AS n
+            FROM (SELECT unnest(bgs) AS g FROM b)
+            GROUP BY 1
+            ORDER BY n DESC, bg ASC
+            LIMIT 20
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

@@ -250,6 +250,33 @@ def top_tokens(documents: DataFrame, k: int = 20, min_len: int = 3) -> DataFrame
     )
 
 
+def top_bigrams(documents: DataFrame, k: int = 20, min_len: int = 3) -> DataFrame:
+    """Corpus-wide heavy-hitter BIGRAMS (both tokens >= min_len chars):
+    the collocation/boilerplate-phrase health check complementing
+    top_tokens. Bigrams are built row-locally (zip with successors — no
+    (doc, pos) explode-join), then one hash-agg with map-side partial
+    aggregation; top-k via TakeOrdered."""
+    ws = _words()
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.when(
+            (F.length(a) >= min_len) & (F.length(b) >= min_len),
+            F.concat(a, F.lit(" "), b),
+        ),
+    )
+    bg = documents.select(F.explode(bigrams).alias("bg")).where(
+        F.col("bg").isNotNull()
+    )
+    return (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bg"))
+        .limit(k)
+    )
+
+
 def stratified_sample(
     documents: DataFrame, per_source: int = 5
 ) -> DataFrame:

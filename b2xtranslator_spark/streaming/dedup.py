@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 DEDUP_OUT_SCHEMA = StructType(
@@ -125,6 +126,51 @@ def start_streaming_dedup(
             if ttl_seconds is None
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_dedup_within_watermark_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    delay: str = "10 minutes",
+):
+    """The BUILT-IN event-time counterpart to the custom stateful kernel:
+    ``dropDuplicatesWithinWatermark`` keeps the first occurrence of each
+    fingerprint among rows whose event times fall within the watermark
+    horizon — Spark owns the state lifecycle (eviction at the watermark),
+    no Python kernel at all. Choose it when "duplicate" is an EVENT-TIME
+    window notion and late data past the watermark may legitimately
+    reappear; keep the applyInPandasWithState kernel when the contract is
+    keep-first-forever or processing-time TTL (the built-in expresses
+    neither)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    source = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn(
+            "fp",
+            F.md5(F.encode(F.regexp_replace(F.lower("text"), "\\s+", " "), "UTF-8")),
+        )
+        .withWatermark("ts", delay)
+    )
+    deduped = source.dropDuplicatesWithinWatermark(["fp"]).select(
+        "doc_id", "fp", "ts"
     )
     return (
         deduped.writeStream.format("parquet")

@@ -91,3 +91,30 @@ def test_keep_first_no_ttl_never_arms_timeout():
     assert len(out) == 1 and state.timeout_ms is None
     out = list(kernel(("fp",), iter([batch]), state))
     assert out == [] and state.timeout_ms is None
+
+
+def test_builtin_watermark_dedup(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark variant: duplicates inside the
+    horizon collapse to the first occurrence; distinct texts all pass."""
+    import pandas as pd
+
+    from b2xtranslator_spark.streaming.dedup import (
+        start_dedup_within_watermark_stream,
+    )
+
+    base = tmp_path_factory.mktemp("wmdedup")
+    in_dir, out_dir, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        (1, "same text", t0),
+        (2, "same  TEXT", t0 + pd.Timedelta(minutes=1)),  # normalized dup
+        (3, "different text", t0 + pd.Timedelta(minutes=2)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+    q = start_dedup_within_watermark_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    out = spark.read.parquet(out_dir).toPandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
