@@ -325,6 +325,8 @@ class _Document:
             first = self.resolve(val.get("/First"))
             if not isinstance(n, int) or not isinstance(first, int):
                 continue
+            if first < 0 or first >= len(payload):
+                continue  # hostile /First: negative indexing or OOB
             n = max(0, min(n, 65536))  # hostile header cap
             # header: N pairs of integers (objnum offset)
             pos = 0
@@ -335,7 +337,12 @@ class _Document:
                     break
                 pairs.append(v)
                 pos = npos
-            for objnum, off in zip(pairs[::2], pairs[1::2]):
+            for i, (objnum, off) in enumerate(zip(pairs[::2], pairs[1::2])):
+                if i % 64 == 0:
+                    # a 65536-member header over a large payload is O(N x
+                    # payload) of member parses — the per-document deadline
+                    # must be able to fire inside this loop
+                    check_deadline()
                 if objnum in direct:  # direct definitions win
                     continue
                 if off < 0 or first + off >= len(payload):

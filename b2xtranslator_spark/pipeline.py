@@ -174,7 +174,11 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
         # literal '?' and any non-ASCII char at the same position to the same
         # key, letting one row be served another row's cached result (ADVICE
         # r02). utf-8 is injective on str, so collisions need an md5 break.
-        key = hashlib.md5(src.encode("utf-8")).digest()
+        # markup extraction output depends on the main-content mode: the
+        # mode byte must be part of the key or a toggled flag serves stale
+        # results computed under the other mode
+        mode = b"\x01" if (is_markup and _MARKUP_MAIN_CONTENT) else b"\x00"
+        key = hashlib.md5(mode + src.encode("utf-8")).digest()
         hit = _DECODE_CACHE.get(key)
         if hit is not None:
             _DECODE_CACHE.move_to_end(key)

@@ -7,7 +7,7 @@ tool string, ts timestamp)``. Document-bearing turns carry
 other turns carry plain chat filler.
 
 Driver-side state is kept to integer skeleton arrays (numpy, seeded);
-payloads are attached Spark-side by a broadcast join against a 206-row
+payloads are attached Spark-side by a broadcast join against a 208-row
 payload dimension — the generator never materializes payload-per-row on
 the driver, so it scales to arbitrarily many turns.
 """

@@ -41,6 +41,16 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+
+def _fp_col():
+    """Normalized-content fingerprint — the SAME normalization as the batch
+    dedup family (operators/dedup._norm_text); one definition so the two
+    streaming variants and batch dedup can never disagree on what counts
+    as a duplicate."""
+    return F.md5(
+        F.encode(F.regexp_replace(F.lower("text"), "\\s+", " "), "UTF-8")
+    )
+
 DEDUP_OUT_SCHEMA = StructType(
     [
         StructField("fp", StringType()),
@@ -111,10 +121,7 @@ def start_streaming_dedup(
     source = (
         spark.readStream.schema(schema)
         .parquet(input_dir)
-        .withColumn(
-            "fp",
-            F.md5(F.encode(F.regexp_replace(F.lower("text"), "\\s+", " "), "UTF-8")),
-        )
+        .withColumn("fp", _fp_col())
     )
     deduped = source.groupBy("fp").applyInPandasWithState(
         make_keep_first(ttl_seconds),
@@ -163,10 +170,7 @@ def start_dedup_within_watermark_stream(
     source = (
         spark.readStream.schema(schema)
         .parquet(input_dir)
-        .withColumn(
-            "fp",
-            F.md5(F.encode(F.regexp_replace(F.lower("text"), "\\s+", " "), "UTF-8")),
-        )
+        .withColumn("fp", _fp_col())
         .withWatermark("ts", delay)
     )
     deduped = source.dropDuplicatesWithinWatermark(["fp"]).select(

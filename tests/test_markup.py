@@ -251,3 +251,24 @@ def test_main_content_flag_via_package_boundary():
         assert out[0] == "Kept content line."
     finally:
         pl._MARKUP_MAIN_CONTENT = old
+
+
+def test_decode_cache_keyed_by_main_content_mode():
+    """Review finding (r3, third pass): toggling the main-content mode must
+    never serve a result cached under the other mode for the SAME payload."""
+    import b2xtranslator_spark.pipeline as pl
+
+    payload = (
+        pl.MARKUP_PREFIX
+        + "<body><div><a>m</a><a>n</a><a>o</a></div><p>Real body text here.</p></body>"
+    )
+    old = pl._MARKUP_MAIN_CONTENT
+    try:
+        pl._MARKUP_MAIN_CONTENT = False
+        with_menu = pl._extract_one(payload, None)[0]
+        pl._MARKUP_MAIN_CONTENT = True
+        without_menu = pl._extract_one(payload, None)[0]
+    finally:
+        pl._MARKUP_MAIN_CONTENT = old
+    assert with_menu == "mno\nReal body text here."
+    assert without_menu == "Real body text here."

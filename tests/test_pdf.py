@@ -426,10 +426,18 @@ def test_asciihex_ascii85_runlength_filters():
     a85 = base64.a85encode(ops) + b"~>"
     assert extract_pdf_text(page_with(a85, b"/ASCII85Decode"))[0] == "filtered text"
 
-    # run-length: literal run + a repeat run inside the shown string
-    rl_ops = b"BT (ab" + b"c" * 10 + b") Tj ET"
-    rl = bytes([5]) + b"BT (ab" + bytes([256 - 9]) + b"c" + bytes([4]) + b") Tj" + bytes([1]) + b" ET" + bytes([128])
-    assert extract_pdf_text(page_with(rl, b"/RunLengthDecode"))[0] == "ab" + "c" * 10
+    # run-length: literal runs + a repeat run + an explicit EOD marker,
+    # with trailing bytes after EOD that MUST stay undecoded (review r3:
+    # the earlier mis-aligned fixture never exercised the 128 branch)
+    rl = (
+        bytes([4]) + b"BT (a"          # 5 literals (ln=N copies N+1)
+        + bytes([256 - 9]) + b"c"      # 'c' x 10
+        + bytes([3]) + b") Tj"         # 4 literals
+        + bytes([2]) + b" ET"          # 3 literals
+        + bytes([128])                 # EOD
+        + bytes([8]) + b"(never) Tj"   # after EOD: must not decode
+    )
+    assert extract_pdf_text(page_with(rl, b"/RunLengthDecode"))[0] == "a" + "c" * 10
 
     # chained: ASCII85 over Flate (decode order = filter array order)
     chained = base64.a85encode(_zlib.compress(ops)) + b"~>"
@@ -497,3 +505,31 @@ def test_hostile_objstm_never_crashes():
             b[i] = int(rng.integers(0, 256))
         res = extract_payload_text(bytes(b))
         assert res.status in ("ok", "parse_error", "unsupported", "timeout", "encrypted")
+
+
+def test_hostile_objstm_header_is_deadline_bounded():
+    """Review finding (r3, third pass): a tiny ObjStm declaring /N 65536
+    must hit the per-document deadline inside the member loop, not stall
+    the partition for O(N x payload)."""
+    import zlib as _zlib
+
+    # header: 65536 pairs all pointing at offset 0 of a large body
+    n = 65536
+    header = b"".join(b"%d 0 " % (100 + i) for i in range(n))
+    body = b"[" + b"1 " * 20000 + b"]"
+    payload = header + body
+    packed = _zlib.compress(payload)
+    objstm = (
+        b"<</Type/ObjStm/N " + str(n).encode()
+        + b"/First " + str(len(header)).encode()
+        + b"/Length " + str(len(packed)).encode()
+        + b"/Filter/FlateDecode>>stream\n" + packed + b"\nendstream"
+    )
+    pdf = _pdf({9: objstm})
+    import time
+
+    t0 = time.perf_counter()
+    res = extract_payload_text(pdf, budget_seconds=0.5)
+    dt = time.perf_counter() - t0
+    assert dt < 10, dt
+    assert res.status in ("timeout", "ok", "unsupported")
