@@ -51,6 +51,8 @@ from b2xtranslator_spark.operators.similarity import (  # noqa: E402
 )
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
+    chunk_documents,
+    pack_sequences,
     deterministic_sample,
     fingerprint,
     corpus_filter,
@@ -434,6 +436,18 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_table(spark, sf_dir, "documents"))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 32-token windows with 8 overlap so the corpus actually splits into
+    # multiple overlapping chunks (defaults would fit most docs in one)
+    return chunk_documents(
+        _table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_table(spark, sf_dir, "documents"))
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(_table(spark, sf_dir, "documents"))
 
@@ -625,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scan": _q_pii_scan,
         "corpus_filter_pipeline": _q_corpus_filter,
         "top_bigrams": _q_top_bigrams,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
@@ -1111,6 +1127,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n DESC, bg ASC
             LIMIT 20
+        """,
+        # chunking: identical list slicing; chunk i covers tokens
+        # [i*stride, i*stride+32), stride 24, final partial kept
+        "chunk_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, CASE WHEN len(ws) <= 32 THEN 1
+                                         ELSE CAST(ceil((len(ws) - 32)
+                                                   / 24.0) AS INT) + 1 END),
+                           i -> {'chunk_idx': i,
+                                 'chunk_text': array_to_string(
+                                     ws[i*24+1 : i*24+32], ' '),
+                                 'n_tokens': least(len(ws) - i*24, 32)}
+                       )) AS s
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(s.chunk_idx AS INT) AS chunk_idx,
+                   s.chunk_text AS chunk_text,
+                   CAST(s.n_tokens AS INT) AS n_tokens
+            FROM c
+        """,
+        # sequence packing: same shard-local window cumsum; a document
+        # joins the sequence its first token falls into
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(string_split(lower(text), ' ')) AS n_tokens
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(floor((sum(n_tokens) OVER (
+                                PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+                            / 512.0) AS BIGINT) AS seq_id
+                FROM t
+            )
+            SELECT source, seq_id,
+                   count(*) AS n_docs,
+                   sum(n_tokens) AS seq_tokens,
+                   min(doc_id) AS first_doc_id,
+                   max(doc_id) AS last_doc_id
+            FROM s
+            GROUP BY 1, 2
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

@@ -418,6 +418,81 @@ def pii_scan(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-sample chunking stage between cleaning and tokenization
+    (every pretraining pipeline materializes some form of this). Chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final partial window is kept
+    (training pads it).
+
+    Plan shape: a PURE MAP — per row, chunk starts are one sequence and
+    each chunk re-joins its token slice (array_join of F.slice), then ONE
+    explode multiplies rows by ~n_tokens/stride only (never per token).
+    No shuffle. Oracle: identical list slicing in DuckDB."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    ws = _words()
+    n = F.size(ws)
+    n_chunks = F.when(
+        n <= F.lit(chunk_tokens), F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(ws, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return documents.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        "c.chunk_text",
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences (the
+    packing stage that turns cleaned documents into model-ready batches):
+    within each source shard, documents in deterministic doc_id order are
+    laid head-to-tail on a token stream and each document joins the
+    sequence its FIRST token falls into (floor(start_offset / budget) —
+    the standard concatenate-then-slice packing, document boundaries
+    preserved).
+
+    Scale shape: packing is SHARD-LOCAL by design (training order inside a
+    shard is all that matters), so the window cumsum partitions by source —
+    one shuffle, no global ordering bottleneck. Output is one row per
+    (source, seq_id) with occupancy stats; the window SQL mirrors it
+    exactly."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    n_tokens = F.size(_words())
+    df = documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    seq = F.floor(start / F.lit(budget_tokens)).cast("long")
+    return (
+        df.withColumn("seq_id", seq)
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
 def corpus_filter(
     documents: DataFrame,
     min_quality: float = 0.5,

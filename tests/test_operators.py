@@ -631,3 +631,56 @@ def test_corpus_filter_reasons_and_order(spark):
     # doc 5 is all stopwords: quality stays high (stop_ratio), but the top
     # bigram covers everything -> first failing check in order is bigram
     assert out[5][0] is False and out[5][1] in ("bigram", "quality")
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunk windows: stride = chunk-overlap, every token covered, overlap
+    region repeats, final partial kept, short docs -> one chunk."""
+    from b2xtranslator_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", 1), (2, "tiny doc", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        )
+    assert sorted(by_doc[1]) == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+    assert by_doc[2] == [(0, "tiny doc", 2)]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_budget_and_boundaries(spark):
+    """Packing: docs lie head-to-tail per source; a doc joins the sequence
+    of its first token; sources pack independently."""
+    from b2xtranslator_spark.operators.textstats import pack_sequences
+
+    rows = [
+        (1, "a " * 5, "s1", 5),   # tokens ~ see below
+        (2, "b " * 5, "s1", 5),
+        (3, "c " * 5, "s1", 5),
+        (4, "d " * 2, "s2", 2),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), "en", src, n) for i, t, src, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {
+        (r["source"], r["seq_id"]): r
+        for r in pack_sequences(docs, budget_tokens=8).collect()
+    }
+    # s1: doc1 starts at 0 (seq 0), doc2 at 5 (seq 0), doc3 at 10 (seq 1)
+    assert out[("s1", 0)]["n_docs"] == 2
+    assert out[("s1", 0)]["first_doc_id"] == 1
+    assert out[("s1", 0)]["last_doc_id"] == 2
+    assert out[("s1", 1)]["n_docs"] == 1
+    assert out[("s2", 0)]["n_docs"] == 1
