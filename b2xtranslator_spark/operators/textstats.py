@@ -476,7 +476,16 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     exactly."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("source").orderBy("doc_id")
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    # explicit ROWS frame: Spark's default RANGE frame would sum doc_id
+    # PEERS together (duplicate ids stop being head-to-tail) and diverge
+    # from the oracle's ROWS UNBOUNDED PRECEDING semantics
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n_tokens = F.size(_words())
     df = documents.select("doc_id", "source", n_tokens.alias("n_tokens"))
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
