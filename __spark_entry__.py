@@ -52,6 +52,7 @@ from b2xtranslator_spark.operators.similarity import (  # noqa: E402
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
     chunk_documents,
+    contamination_check,
     pack_sequences,
     deterministic_sample,
     fingerprint,
@@ -448,6 +449,20 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_table(spark, sf_dir, "documents"))
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with PLANTED leakage: the eval set is a copied
+    mid-document passage of every 10th training doc (under the same
+    doc-cap as the winnow oracle), so each eval doc must flag its source
+    via shared winnowing fingerprints. Construction mirrored verbatim in
+    the oracle SQL."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id"),
+        F.substring(F.col("text"), 50, 400).alias("text"),
+    )
+    return contamination_check(docs, eval_docs, min_shared_fps=2)
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(_table(spark, sf_dir, "documents"))
 
@@ -641,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": _q_top_bigrams,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "contamination_check": _q_contamination,
         "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
@@ -1177,6 +1193,53 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS last_doc_id
             FROM s
             GROUP BY 1, 2
+        """,
+        # decontamination: winnow both sides (same md5-60bit grams as the
+        # winnow oracle), join on fp, count shared fps per (train, eval)
+        "contamination_check": f"""
+            WITH train_norm AS (
+                SELECT doc_id, {norm} AS t FROM documents WHERE doc_id < 100
+            ),
+            eval_norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(substring(text, 50, 400)),
+                                      '\\s+', ' ', 'g') AS t
+                FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0
+            ),
+            tg AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, greatest(length(t)-7, 1))) AS pos,
+                       unnest(list_transform(
+                           generate_series(1, greatest(length(t)-7, 1)),
+                           i -> substring(t, i, 8))) AS gram
+                FROM train_norm
+            ),
+            eg AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, greatest(length(t)-7, 1))) AS pos,
+                       unnest(list_transform(
+                           generate_series(1, greatest(length(t)-7, 1)),
+                           i -> substring(t, i, 8))) AS gram
+                FROM eval_norm
+            ),
+            tf AS (
+                SELECT DISTINCT doc_id,
+                       min(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT))
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM tg
+            ),
+            ef AS (
+                SELECT DISTINCT doc_id AS eval_doc_id,
+                       min(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT))
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM eg
+            )
+            SELECT tf.doc_id, ef.eval_doc_id, count(*) AS shared_fps
+            FROM tf JOIN ef USING (fp)
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

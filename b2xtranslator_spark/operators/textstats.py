@@ -550,6 +550,36 @@ def corpus_filter(
     )
 
 
+def contamination_check(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    min_shared_fps: int = 2,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing at least
+    ``min_shared_fps`` winnowing fingerprints with ANY eval document — the
+    passage-overlap test every pretraining pipeline runs against its
+    benchmark suites before training (verbatim and lightly-edited leakage
+    both surface, because winnowing fingerprints survive local edits).
+
+    Plan: winnow both sides (pure maps), equi-join on fingerprint with the
+    EVAL side broadcast (eval suites are tiny relative to the corpus — the
+    join never shuffles the training side's fingerprint mass), then one
+    groupBy per contaminated (train, eval) pair. Output: one row per
+    contaminated pair with the shared-fingerprint count."""
+    train_fps = winnowing_fingerprints(documents, k=k, window=window)
+    eval_fps = winnowing_fingerprints(eval_docs, k=k, window=window).select(
+        F.col("doc_id").alias("eval_doc_id"), "fp"
+    )
+    return (
+        train_fps.join(F.broadcast(eval_fps), "fp")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared_fps)
+    )
+
+
 def top_tokens_sketch(
     documents: DataFrame,
     k: int = 20,

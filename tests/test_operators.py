@@ -684,3 +684,32 @@ def test_pack_sequences_budget_and_boundaries(spark):
     assert out[("s1", 0)]["last_doc_id"] == 2
     assert out[("s1", 1)]["n_docs"] == 1
     assert out[("s2", 0)]["n_docs"] == 1
+
+
+def test_contamination_check_flags_planted_leakage(spark):
+    """Decontamination: an eval doc copying a training passage must flag
+    its source with far more shared fingerprints than unrelated docs."""
+    from b2xtranslator_spark.operators.textstats import contamination_check
+
+    passage = (
+        "the benchmark asks the model to reverse a linked list in place "
+        "while keeping the auxiliary space constant and the running time linear "
+    ) * 3
+    train = spark.createDataFrame(
+        [
+            (1, "intro text " + passage + " closing remarks", "en", "s", 1),
+            (2, "completely unrelated training document about cooking pasta "
+                "slowly with plenty of butter and sage leaves in a pan", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, passage, "en", "eval", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {
+        (r["doc_id"], r["eval_doc_id"]): r["shared_fps"]
+        for r in contamination_check(train, eval_docs, min_shared_fps=3).collect()
+    }
+    assert (1, 100) in out and out[(1, 100)] > 10
+    assert (2, 100) not in out
