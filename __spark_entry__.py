@@ -48,6 +48,7 @@ from b2xtranslator_spark.operators.similarity import (  # noqa: E402
     embedding_near_duplicates_fast,
     embedding_near_duplicates_lsh,
     ivf_topk,
+    ivf_topk_grid,
 )
 from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     STOPWORDS,
@@ -463,6 +464,13 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(docs, eval_docs, min_shared_fps=2)
 
 
+def _q_similarity_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk_grid(
+        _table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
+        n_centroids=16, n_probe=4,
+    )
+
+
 def _q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(_table(spark, sf_dir, "documents"))
 
@@ -657,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "contamination_check": _q_contamination,
+        "similarity_topk_ivf_grid": _q_similarity_ivf_grid,
         "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
@@ -1240,6 +1249,42 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN ef USING (fp)
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        # grid-quantizer IVF: deterministic integer centroids (offset-seed
+        # plane family), row-local best-centroid assignment, probe the
+        # query's 4 nearest cells, exact cosine among candidates
+        "similarity_topk_ivf_grid": """
+            WITH scored AS (
+              SELECT vec_id, embedding,
+                     list_sort(list_transform(range(0, 16),
+                         c -> {'negs': round(-(
+                                   list_sum(list_transform(range(0, len(embedding)),
+                                       d -> embedding[d+1] *
+                                            (((48271*(1000+c) + 69621*d
+                                               + 2654435761*(1000+c)*d + 7919) % 2001)
+                                             - 1000)))
+                                 ) / sqrt(list_sum(list_transform(range(0, len(embedding)),
+                                       d -> pow((((48271*(1000+c) + 69621*d
+                                               + 2654435761*(1000+c)*d + 7919) % 2001)
+                                             - 1000), 2)))), 6),
+                               'c': c})) AS cl
+              FROM embeddings
+            ),
+            assigned AS (
+              SELECT vec_id, embedding, cl[1].c AS cluster FROM scored
+            ),
+            qrow AS (
+              SELECT embedding AS qe,
+                     list_transform(cl[1:4], s -> s.c) AS probes
+              FROM scored WHERE vec_id = 0
+            )
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.embedding, qrow.qe), 6)
+                       AS cosine
+            FROM assigned a, qrow
+            WHERE list_contains(qrow.probes, a.cluster) AND a.vec_id <> 0
+            ORDER BY cosine DESC, a.vec_id ASC
+            LIMIT 10
         """,
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp,

@@ -449,3 +449,110 @@ def embedding_dedup_pipeline(
         F.col("cluster_id"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+_GRID_SEED = 1000  # centroid index offset: disjoint from the LSH plane family
+
+
+def _grid_weight(c, d):
+    """Deterministic integer centroid weight (same arithmetic family as the
+    LSH hyperplanes, offset seed so centroids and planes are uncorrelated);
+    c and d are Columns."""
+    a = (
+        F.lit(_M1) * (c + F.lit(_GRID_SEED))
+        + F.lit(_M2) * d
+        + F.lit(_MX) * (c + F.lit(_GRID_SEED)) * d
+        + F.lit(_C)
+    ) % F.lit(_MOD)
+    return (a - F.lit(_HALF)).cast("double")
+
+
+def ivf_topk_grid(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k with a DETERMINISTIC grid coarse quantizer: centroids
+    are integer-arithmetic vectors (no learned KMeans state), every vector
+    row-locally joins its best-cosine centroid, and only vectors in the
+    query's ``n_probe`` nearest cells are scored exactly.
+
+    This is the oracle-expressible sibling of ivf_topk (whose learned
+    KMeans quantizer cannot be reproduced in SQL): cluster assignment,
+    probe selection and final exact scores are all pure portable
+    arithmetic, so the whole ANN query is value-hash checkable in DuckDB.
+    Recall/cost tune exactly like IVF: more probes -> more of the true
+    top-k, fewer -> less scoring. Scores round to 6 before the argmax so
+    float ulps can never flip cluster choices between engines.
+
+    Scale shape: assignment is a PURE MAP (at corpus scale it would be
+    computed once and persisted next to the vectors, exactly like a FAISS
+    IVF list id); the query row is a 1-row broadcast carrying its probe
+    set; candidate filtering happens at the scan; top-k is TakeOrdered.
+    No shuffle anywhere but the final k rows."""
+    emb = F.col("embedding")
+    dim = F.size(emb)
+
+    def cl_sorted():
+        return F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                lambda c: F.struct(
+                    F.round(
+                        -F.aggregate(
+                            F.zip_with(
+                                emb,
+                                F.sequence(F.lit(0), dim - 1),
+                                lambda x, d: x.cast("double") * _grid_weight(c, d),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        / F.sqrt(
+                            F.aggregate(
+                                F.transform(
+                                    F.sequence(F.lit(0), dim - 1),
+                                    lambda d: _grid_weight(c, d)
+                                    * _grid_weight(c, d),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            )
+                        ),
+                        6,
+                    ).alias("negs"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+        )
+
+    scored = embeddings.select("vec_id", "embedding", cl_sorted().alias("cl"))
+    assigned = scored.select(
+        "vec_id", "embedding", F.col("cl")[0]["c"].alias("cluster")
+    )
+    qrow = scored.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"),
+        F.transform(F.slice("cl", 1, n_probe), lambda s: s["c"]).alias(
+            "probes"
+        ),
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .where(F.array_contains(F.col("probes"), F.col("cluster")))
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+                6,
+            ),
+        )
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

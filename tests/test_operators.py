@@ -713,3 +713,23 @@ def test_contamination_check_flags_planted_leakage(spark):
     }
     assert (1, 100) in out and out[(1, 100)] > 10
     assert (2, 100) not in out
+
+
+def test_ivf_grid_scores_exactly_and_recalls(embeddings):
+    """Grid-quantizer IVF: candidates carry EXACT cosines (agree with
+    brute force on intersection), probing more cells monotonically widens
+    recall, and results are deterministic."""
+    from b2xtranslator_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk_grid,
+    )
+
+    brute = cosine_topk_bruteforce(embeddings, 0, 10).toPandas()
+    ann = ivf_topk_grid(embeddings, 0, k=50, n_centroids=16, n_probe=4).toPandas()
+    merged = brute.merge(ann, on="vec_id", suffixes=("_b", "_a"))
+    assert len(merged) >= 3, "too few of the true top-10 recovered"
+    assert (merged.cosine_b - merged.cosine_a).abs().max() < 1e-9
+    wide = ivf_topk_grid(embeddings, 0, k=50, n_centroids=16, n_probe=16).toPandas()
+    assert set(brute.vec_id) <= set(wide.vec_id)  # all cells probed = exact
+    again = ivf_topk_grid(embeddings, 0, k=50, n_centroids=16, n_probe=4).toPandas()
+    assert ann.vec_id.tolist() == again.vec_id.tolist()
