@@ -37,18 +37,23 @@ def _content_md5(col: str = "text"):
     return F.md5(F.encode(_norm(col), "UTF-8"))
 
 
-def _rle_pairs(arr):
-    """Run-length pairs of an array column, as array<struct<negc:int,
+def _rle_pairs(s):
+    """Run-length pairs of a SORTED array column, as array<struct<negc:int,
     w:string>> (negc = -count, so an array_sort ranks by count desc, value
-    asc). One O(n log n) row-local pass: sort, find run starts
+    asc). One O(n) row-local pass over the sorted input: find run starts
     (s[i] != s[i-1]), read each run's length as next_start - start.
+
+    ``s`` MUST be a bound column reference to an ALREADY-SORTED array
+    (stage ``F.array_sort(...)`` via a select first): Catalyst evaluates
+    unbound subtrees INSIDE lambda bodies once per ELEMENT, so passing
+    array_sort(expr) directly turns this into O(n^2 log n) — measured as a
+    157s wall for repetition_stats at sf0.1 before staging (BENCH notes).
 
     F.get is 0-based and null-safe (element_at throws on index 0 / ANSI
     out-of-bounds); get(s, -1) at i=1 yields NULL, and x != NULL is NULL,
     so the i==1 disjunct alone admits the first run start. An empty input
     yields an empty result (the sequence over greatest(n,1) would
     fabricate index 1 otherwise)."""
-    s = F.array_sort(arr)
     n = F.size(s)
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
@@ -72,9 +77,10 @@ def _rle_pairs(arr):
     )
 
 
-def _max_run_count(arr):
-    """Count of the most frequent element of an array column (0 on empty)."""
-    pairs = _rle_pairs(arr)
+def _max_run_count(sorted_col):
+    """Count of the most frequent element of a SORTED array column (0 on
+    empty); same staging contract as _rle_pairs."""
+    pairs = _rle_pairs(sorted_col)
     return F.coalesce(
         -F.array_min(F.transform(pairs, lambda p: p["negc"])), F.lit(0)
     )
@@ -349,16 +355,8 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
-    n_lines = F.size(lines)
-    dup_line_frac = F.when(
-        n_lines > F.lit(0),
-        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
-    ).otherwise(F.lit(0.0)).cast("double")
     ws = _words()
     n_tokens = F.size(ws)
-    top_word_frac = (
-        _max_run_count(ws) / F.greatest(n_tokens, F.lit(1))
-    ).cast("double")
     # bigrams in occurrence order: zip tokens with their successors
     bigrams = F.zip_with(
         F.slice(ws, 1, F.greatest(n_tokens - 1, F.lit(0))),
@@ -367,16 +365,31 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         ),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # STAGE the sorted arrays as bound columns before the run-length pass:
+    # _rle_pairs' lambdas index into them per element, and an unbound
+    # array_sort subtree would re-sort per element (the O(n^2) trap)
+    staged = documents.select(
+        "doc_id",
+        lines.alias("_lines"),
+        n_tokens.alias("_n_tokens"),
+        F.array_sort(ws).alias("_sw"),
+        F.array_sort(bigrams).alias("_sb"),
+    )
+    n_lines = F.size(F.col("_lines"))
+    dup_line_frac = F.when(
+        n_lines > F.lit(0),
+        F.lit(1.0) - F.size(F.array_distinct(F.col("_lines"))) / n_lines,
+    ).otherwise(F.lit(0.0)).cast("double")
+    denom = F.greatest(F.col("_n_tokens"), F.lit(1))
+    top_word_frac = (_max_run_count(F.col("_sw")) / denom).cast("double")
     # overlapping occurrences ('a a a a a': 4 x 'a a' over 5 tokens) can push
     # 2*count past the token total — clamp to keep the documented [0, 1]
     # "fraction of tokens covered" contract on degenerate repetition
     top_bigram_frac = F.least(
-        (
-            F.lit(2) * _max_run_count(bigrams) / F.greatest(n_tokens, F.lit(1))
-        ).cast("double"),
+        (F.lit(2) * _max_run_count(F.col("_sb")) / denom).cast("double"),
         F.lit(1.0),
     )
-    return documents.select(
+    return staged.select(
         "doc_id",
         n_lines.alias("n_lines"),
         F.round(dup_line_frac, 6).alias("dup_line_frac"),
@@ -435,7 +448,10 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
     stride = chunk_tokens - overlap
-    ws = _words()
+    # stage the token array: the per-chunk lambda slices it, and an unbound
+    # split() subtree would re-tokenize the document once per chunk
+    staged = documents.select("doc_id", _words().alias("_ws"))
+    ws = F.col("_ws")
     n = F.size(ws)
     n_chunks = F.when(
         n <= F.lit(chunk_tokens), F.lit(1)
@@ -450,7 +466,7 @@ def chunk_documents(
             F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
         ),
     )
-    return documents.select(
+    return staged.select(
         "doc_id", F.explode(chunks).alias("c")
     ).select(
         "doc_id",
@@ -639,9 +655,14 @@ def top_tokens_sketch(
     # token rescan. Rank by (count desc, token asc) via the (-count, token)
     # struct sort, slice the top per_doc_k.
     wf = F.filter(words, lambda x: F.length(x) >= min_len)
-    top_local = F.slice(F.array_sort(_rle_pairs(wf)), 1, per_doc_k)
+    # stage the sorted token array before the run-length pass (see
+    # _rle_pairs' staging contract — unbound sorts re-evaluate per element)
+    staged = documents.select(F.array_sort(wf).alias("_swf"))
+    top_local = F.slice(
+        F.array_sort(_rle_pairs(F.col("_swf"))), 1, per_doc_k
+    )
     candidates = (
-        documents.select(F.explode(top_local).alias("s"))
+        staged.select(F.explode(top_local).alias("s"))
         .select("s.w")
         .distinct()
     )

@@ -158,6 +158,8 @@ def main() -> None:
         "lineitem_pricing_summary",
         "revenue_by_region",
         "latest_event_per_user",
+        "corpus_filter_pipeline",
+        "chunk_documents",
     ):
         fn = qs[name]
         queries[name] = round(
