@@ -71,7 +71,13 @@ def minhash_signatures(
     the shingle — one digest instead of num_hashes digests per shingle
     (measured 3.5x on the bench), still portable SQL, and a standard
     construction for MinHash families."""
-    words = F.split(_norm_text(), " ")
+    # stage the token array: the shingle lambda slices it per position, and
+    # an unbound split(regexp_replace(...)) subtree would re-tokenize the
+    # document once per shingle (the O(n^2) lambda trap; BENCH notes)
+    staged = documents.select(
+        "doc_id", F.split(_norm_text(), " ").alias("_w")
+    )
+    words = F.col("_w")
     idx = F.sequence(
         F.lit(0), F.greatest(F.size(words) - shingle_len, F.lit(0))
     )
@@ -79,7 +85,7 @@ def minhash_signatures(
         idx,
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)),
     )
-    exploded = documents.select(
+    exploded = staged.select(
         "doc_id", F.explode(shingles).alias("shingle")
     )
     digest = F.md5(F.encode(F.col("shingle"), "UTF-8"))

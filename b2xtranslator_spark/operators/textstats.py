@@ -209,7 +209,11 @@ def winnowing_fingerprints(
     docs = documents
     if max_docs is not None:
         docs = docs.where(F.col("doc_id") < max_docs)
-    norm = _norm()
+    # stage the normalized text: gram_hash's lambda substr-indexes it per
+    # gram, and an unbound regexp_replace subtree would re-normalize the
+    # whole document once per character (the O(n^2) lambda trap)
+    staged = docs.select("doc_id", _norm().alias("_t"))
+    norm = F.col("_t")
     starts = F.sequence(
         F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))
     )
@@ -218,7 +222,7 @@ def winnowing_fingerprints(
         16,
         10,
     ).cast("long")
-    hashed = docs.select(
+    hashed = staged.select(
         "doc_id", F.transform(starts, gram_hash).alias("hs")
     )
     # window minima: min(hs[p .. p+window-1]), end-clipped like ROWS BETWEEN
