@@ -37,30 +37,33 @@ def _content_md5(col: str = "text"):
     return F.md5(F.encode(_norm(col), "UTF-8"))
 
 
-def _rle_pairs(s):
-    """Run-length pairs of a SORTED array column, as array<struct<negc:int,
-    w:string>> (negc = -count, so an array_sort ranks by count desc, value
-    asc). One O(n) row-local pass over the sorted input: find run starts
-    (s[i] != s[i-1]), read each run's length as next_start - start.
+def _with_rle_pairs(df, sorted_col: str, out_col: str):
+    """Add ``out_col`` = run-length pairs of the pre-sorted array column
+    ``sorted_col``, staging the run-start positions as a bound column in
+    between: higher-order functions are CodegenFallback (no subexpression
+    elimination), so the O(n) starts filter referenced by three downstream
+    expressions would otherwise evaluate three times per row."""
+    tmp = f"_starts{out_col}"
+    df = df.withColumn(tmp, _run_starts(F.col(sorted_col)))
+    df = df.withColumn(
+        out_col, _pairs_from_starts(F.col(sorted_col), F.col(tmp))
+    )
+    return df.drop(tmp)
 
-    ``s`` MUST be a bound column reference to an ALREADY-SORTED array
-    (stage ``F.array_sort(...)`` via a select first): Catalyst evaluates
-    unbound subtrees INSIDE lambda bodies once per ELEMENT, so passing
-    array_sort(expr) directly turns this into O(n^2 log n) — measured as a
-    157s wall for repetition_stats at sf0.1 before staging (BENCH notes).
 
-    F.get is 0-based and null-safe (element_at throws on index 0 / ANSI
-    out-of-bounds); get(s, -1) at i=1 yields NULL, and x != NULL is NULL,
-    so the i==1 disjunct alone admits the first run start. An empty input
-    yields an empty result (the sequence over greatest(n,1) would
-    fabricate index 1 otherwise)."""
+def _run_starts(s):
+    """1-based run-start positions of a SORTED bound array column."""
     n = F.size(s)
-    starts = F.filter(
+    return F.filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
         lambda i: (i == F.lit(1))
         | (F.get(s, i - F.lit(1)) != F.get(s, i - F.lit(2))),
     )
-    # sentinel n+1 closes the last run; zip (start, next_start)
+
+
+def _pairs_from_starts(s, starts):
+    """(negc, w) pairs from bound (sorted array, run starts) columns."""
+    n = F.size(s)
     nexts = F.concat(
         F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
         F.array(n + F.lit(1)),
@@ -74,15 +77,6 @@ def _rle_pairs(s):
     )
     return F.when(n > F.lit(0), pairs).otherwise(
         F.array().cast("array<struct<negc:int,w:string>>")
-    )
-
-
-def _max_run_count(sorted_col):
-    """Count of the most frequent element of a SORTED array column (0 on
-    empty); same staging contract as _rle_pairs."""
-    pairs = _rle_pairs(sorted_col)
-    return F.coalesce(
-        -F.array_min(F.transform(pairs, lambda p: p["negc"])), F.lit(0)
     )
 
 
@@ -348,7 +342,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     filter drops.
 
     Plan shape: a PURE MAP — lines, words and bigrams are row-local array
-    ops (split / zip_with / run-length via _rle_pairs), so the operator is
+    ops (split / zip_with / run-length via _with_rle_pairs), so the operator
     one projection inside whole-stage codegen with ZERO shuffle at any
     corpus size. The DuckDB oracle states the same statistics through the
     independent unnest + GROUP BY formulation."""
@@ -370,7 +364,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     # STAGE the sorted arrays as bound columns before the run-length pass:
-    # _rle_pairs' lambdas index into them per element, and an unbound
+    # the run-length lambdas index into them per element, and an unbound
     # array_sort subtree would re-sort per element (the O(n^2) trap)
     staged = documents.select(
         "doc_id",
@@ -379,18 +373,29 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         F.array_sort(ws).alias("_sw"),
         F.array_sort(bigrams).alias("_sb"),
     )
+    staged = _with_rle_pairs(staged, "_sw", "_pw")
+    staged = _with_rle_pairs(staged, "_sb", "_pb")
     n_lines = F.size(F.col("_lines"))
     dup_line_frac = F.when(
         n_lines > F.lit(0),
         F.lit(1.0) - F.size(F.array_distinct(F.col("_lines"))) / n_lines,
     ).otherwise(F.lit(0.0)).cast("double")
     denom = F.greatest(F.col("_n_tokens"), F.lit(1))
-    top_word_frac = (_max_run_count(F.col("_sw")) / denom).cast("double")
+
+    def _max_count(pairs_col):
+        return F.coalesce(
+            -F.array_min(
+                F.transform(F.col(pairs_col), lambda p: p["negc"])
+            ),
+            F.lit(0),
+        )
+
+    top_word_frac = (_max_count("_pw") / denom).cast("double")
     # overlapping occurrences ('a a a a a': 4 x 'a a' over 5 tokens) can push
     # 2*count past the token total — clamp to keep the documented [0, 1]
     # "fraction of tokens covered" contract on degenerate repetition
     top_bigram_frac = F.least(
-        (F.lit(2) * _max_run_count(F.col("_sb")) / denom).cast("double"),
+        (F.lit(2) * _max_count("_pb") / denom).cast("double"),
         F.lit(1.0),
     )
     return staged.select(
@@ -655,16 +660,17 @@ def top_tokens_sketch(
     )
 
     # row-local per-doc top tokens in O(n log n): one run-length pass over
-    # the sorted token array (_rle_pairs), NOT the quadratic per-distinct-
+    # the sorted token array (_with_rle_pairs), NOT the quadratic per-
     # token rescan. Rank by (count desc, token asc) via the (-count, token)
     # struct sort, slice the top per_doc_k.
     wf = F.filter(words, lambda x: F.length(x) >= min_len)
-    # stage the sorted token array before the run-length pass (see
-    # _rle_pairs' staging contract — unbound sorts re-evaluate per element)
-    staged = documents.select(F.array_sort(wf).alias("_swf"))
-    top_local = F.slice(
-        F.array_sort(_rle_pairs(F.col("_swf"))), 1, per_doc_k
+    # stage the sorted token array AND the run-start positions before the
+    # run-length pass (unbound sorts re-evaluate per element; the starts
+    # filter would re-evaluate per downstream reference)
+    staged = _with_rle_pairs(
+        documents.select(F.array_sort(wf).alias("_swf")), "_swf", "_pwf"
     )
+    top_local = F.slice(F.array_sort(F.col("_pwf")), 1, per_doc_k)
     candidates = (
         staged.select(F.explode(top_local).alias("s"))
         .select("s.w")
