@@ -76,7 +76,9 @@ def extract_payload_text(
         ):
             res.kind = "html"
             res.text, elements, spans = extract_html_parts(
-                payload, main_content=html_main_content
+                payload,
+                main_content=html_main_content,
+                extract_urls=extract_urls,
             )
             res.metrics["records_decoded"] = elements
             res.metrics["spans"] = spans

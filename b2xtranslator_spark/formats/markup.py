@@ -114,10 +114,13 @@ class _TextFold(HTMLParser):
     """Event fold: start/end/data events -> list of (text, link_ratio)
     blocks. One pass, no DOM tree retained."""
 
-    def __init__(self) -> None:
+    def __init__(self, extract_urls: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, float]] = []
         self._buf: list[str] = []
+        self._extract_urls = extract_urls
+        self._href: str | None = None  # open anchor's target
+        self._amark = 0  # _buf index where the open anchor's display starts
         self._cells: list[str] | None = None  # active (innermost) table row
         self._row_stack: list[list[str] | None] = []  # outer rows (nesting)
         # open DROP subtrees as a STACK of tag names, not a counter: an end
@@ -141,11 +144,19 @@ class _TextFold(HTMLParser):
             return
         raw = "".join(self._buf)
         self._buf.clear()
+        self._amark = 0
         if self._pre:
-            lines = [ln.rstrip() for ln in raw.split("\n")]
-            for ln in lines:
+            # one link-density ratio for the whole <pre> block, attached to
+            # every emitted line — per-line _emit would bill the block's
+            # entire link mass to the first line and zero to the rest
+            total = max(self._total_chars, 1)
+            ratio = min(self._link_chars / total, 1.0)
+            self._link_chars = 0
+            self._total_chars = 0
+            for ln in raw.split("\n"):
+                ln = ln.rstrip()
                 if ln:
-                    self._emit(ln)
+                    self.blocks.append((ln, ratio))
             return
         text = _collapse(raw)
         if text:
@@ -156,6 +167,45 @@ class _TextFold(HTMLParser):
         self.blocks.append((text, min(self._link_chars / total, 1.0)))
         self._link_chars = 0
         self._total_chars = 0
+
+    # -- anchors -----------------------------------------------------------
+    def _start_anchor(self, attrs) -> None:
+        if self._link:  # HTML5: <a> cannot nest; a new one implies </a>
+            self._end_anchor()
+        self._link = 1
+        self._amark = len(self._buf)
+        self._href = None
+        if self._extract_urls:
+            for k, v in attrs:
+                if k == "href" and v and v.strip():
+                    self._href = v.strip()
+                    break
+
+    def _end_anchor(self) -> None:
+        """Close the open anchor, mirroring the reference's hyperlink
+        rendering (TextWriter.cs:354-440 via formats/word/writer.py
+        _output_hyperlink): emit ``display (url)`` when the display text
+        differs from the target, the bare url when they match or when the
+        anchor has no display text."""
+        if not self._link:
+            return
+        self._link = 0
+        href, self._href = self._href, None
+        if not self._extract_urls or not href:
+            return
+        display = _collapse("".join(self._buf[min(self._amark, len(self._buf)):]))
+        if display and display.lower() != href.lower():
+            extra = f" ({href})"
+        elif display:
+            return  # display IS the url: already in the buffer
+        else:
+            extra = href
+        self._buf.append(extra)
+        # URL furniture belongs to the anchor: count it as link mass so
+        # main_content link-density sees nav blocks get denser, not diluted
+        n = len(extra) - extra.count(" ")
+        self._total_chars += n
+        self._link_chars += n
 
     @property
     def _drop(self) -> int:
@@ -185,7 +235,7 @@ class _TextFold(HTMLParser):
             # stray buffered text before the first cell joins the row
             return
         if tag == "a":
-            self._link += 1
+            self._start_anchor(attrs)
             return
         if tag == "pre":
             self._flush()
@@ -212,12 +262,14 @@ class _TextFold(HTMLParser):
             if self._cells is not None:
                 self._cells.append(_collapse("".join(self._buf)))
                 self._buf.clear()
+                self._amark = 0
             return
         if tag == "tr":
             if self._cells is not None:
                 # trailing text outside a cell closes as a final cell
                 tail = _collapse("".join(self._buf))
                 self._buf.clear()
+                self._amark = 0
                 cells = self._cells + ([tail] if tail else [])
                 # restore the enclosing row (nested table), if any
                 self._cells = self._row_stack.pop() if self._row_stack else None
@@ -226,7 +278,7 @@ class _TextFold(HTMLParser):
                     self._emit(row)
             return
         if tag == "a":
-            self._link = max(self._link - 1, 0)
+            self._end_anchor()
             return
         if tag == "pre":
             self._flush()
@@ -252,6 +304,7 @@ class _TextFold(HTMLParser):
 
     def close(self):  # noqa: D102
         super().close()
+        self._end_anchor()  # EOF with an open anchor still renders its url
         self._flush()
 
 
@@ -259,6 +312,7 @@ def extract_html_parts(
     payload: bytes | str,
     main_content: bool = False,
     link_density_max: float = 0.5,
+    extract_urls: bool = True,
 ) -> tuple[str, int, list[tuple[str, int, int]]]:
     """Extract cleaned plain text from an HTML payload.
 
@@ -268,11 +322,14 @@ def extract_html_parts(
     payload kind. ``main_content=True`` additionally drops blocks whose
     link density exceeds ``link_density_max`` — the DOM heuristic for
     menus/boilerplate that structural tag filtering can't catch.
-    html.parser is tolerant of malformed input and never raises on
-    garbage; the per-document deadline still bounds pathological inputs."""
+    ``extract_urls`` (default on, matching the Word leg) renders anchors
+    as ``display (href)`` exactly like the reference's hyperlink fields
+    (TextWriter.cs:354-440). html.parser is tolerant of malformed input
+    and never raises on garbage; the per-document deadline still bounds
+    pathological inputs."""
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", "replace")
-    fold = _TextFold()
+    fold = _TextFold(extract_urls=extract_urls)
     fold.feed(payload)
     fold.close()
     blocks = fold.blocks
@@ -290,9 +347,12 @@ def extract_html_text(
     payload: bytes | str,
     main_content: bool = False,
     link_density_max: float = 0.5,
+    extract_urls: bool = True,
 ) -> tuple[str, int]:
     """(text, elements_decoded) — extract_html_parts without the spans."""
-    text, elements, _ = extract_html_parts(payload, main_content, link_density_max)
+    text, elements, _ = extract_html_parts(
+        payload, main_content, link_density_max, extract_urls
+    )
     return text, elements
 
 

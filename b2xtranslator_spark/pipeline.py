@@ -43,6 +43,9 @@ PAYLOAD_PREFIX = "b64cfb:"
 # raw (non-base64) HTML/markup payloads — the north rule's markup leg;
 # extraction strips boilerplate via formats/markup.py
 MARKUP_PREFIX = "markup:"
+# same, with the link-density main-content heuristic forced ON for this row
+# (per-row opt-in; the B2X_MARKUP_MAIN_CONTENT env knob remains the global)
+MARKUP_MAIN_PREFIX = "markup_main:"
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -119,9 +122,17 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
 
     src = None
     is_markup = False
+    markup_main = False
+    markup_prefix_len = len(MARKUP_PREFIX)
     for candidate in (text, tool):
         if candidate and candidate.startswith(PAYLOAD_PREFIX):
             src = candidate
+            break
+        if candidate and candidate.startswith(MARKUP_MAIN_PREFIX):
+            src = candidate
+            is_markup = True
+            markup_main = True
+            markup_prefix_len = len(MARKUP_MAIN_PREFIX)
             break
         if candidate and candidate.startswith(MARKUP_PREFIX):
             src = candidate
@@ -146,7 +157,7 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
     # bounded at cap chars, i.e. never the multi-GB worst case the gate
     # exists to stop.
     if is_markup:
-        raw = src[len(MARKUP_PREFIX) :]
+        raw = src[markup_prefix_len:]
         byte_len = (
             len(raw)
             if len(raw) > _MAX_PAYLOAD_BYTES
@@ -177,17 +188,21 @@ def _extract_one(text: str | None, tool: str | None) -> tuple:
         # markup extraction output depends on the main-content mode: the
         # mode byte must be part of the key or a toggled flag serves stale
         # results computed under the other mode
-        mode = b"\x01" if (is_markup and _MARKUP_MAIN_CONTENT) else b"\x00"
+        mode = (
+            b"\x01"
+            if (is_markup and (markup_main or _MARKUP_MAIN_CONTENT))
+            else b"\x00"
+        )
         key = hashlib.md5(mode + src.encode("utf-8")).digest()
         hit = _DECODE_CACHE.get(key)
         if hit is not None:
             _DECODE_CACHE.move_to_end(key)
             return hit
     if is_markup:
-        payload = src[len(MARKUP_PREFIX) :].encode("utf-8")
+        payload = src[markup_prefix_len:].encode("utf-8")
         res = extract_payload_text(
             payload, force_kind="html",
-            html_main_content=_MARKUP_MAIN_CONTENT,
+            html_main_content=markup_main or _MARKUP_MAIN_CONTENT,
         )
     else:
         try:
@@ -258,6 +273,8 @@ def _extract_frames(slices, np) -> Iterator[pd.DataFrame]:
             | tool_s.str.startswith(PAYLOAD_PREFIX, na=False)
             | text_s.str.startswith(MARKUP_PREFIX, na=False)
             | tool_s.str.startswith(MARKUP_PREFIX, na=False)
+            | text_s.str.startswith(MARKUP_MAIN_PREFIX, na=False)
+            | tool_s.str.startswith(MARKUP_MAIN_PREFIX, na=False)
         ).to_numpy()
 
         # vectorized passthrough defaults for every row (chat rows keep them)

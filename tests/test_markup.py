@@ -72,6 +72,86 @@ def test_link_density_heuristic_drops_menus():
     assert main == "Actual article content sentence."
 
 
+def test_anchor_href_rendering_mirrors_reference_hyperlinks():
+    """extract_urls renders anchors exactly like the Word leg's hyperlink
+    fields (TextWriter.cs:354-440 / writer._output_hyperlink): display then
+    ' (url)', bare url when they match or when there is no display text."""
+    # display != href -> "display (href)"
+    text, _ = extract_html_text('<p>See <a href="https://x.io/d">the docs</a>.</p>')
+    assert text == "See the docs (https://x.io/d)."
+    # display == href (case-insensitive) -> display only
+    text, _ = extract_html_text('<p><a href="https://X.io">https://x.io</a></p>')
+    assert text == "https://x.io"
+    # no display -> bare url (appended as a bare text run, like the
+    # reference's description-less hyperlink fields)
+    text, _ = extract_html_text('<p>go <a href="/next"></a> now</p>')
+    assert text == "go /next now"
+    # no href -> display only, no parentheses
+    text, _ = extract_html_text("<p><a>plain anchor</a></p>")
+    assert text == "plain anchor"
+    # extract_urls=False -> display only (previous behavior)
+    text, _ = extract_html_text(
+        '<p>See <a href="https://x.io/d">the docs</a>.</p>', extract_urls=False
+    )
+    assert text == "See the docs."
+    # unclosed anchor at EOF still renders its url
+    text, _ = extract_html_text('<p><a href="/a">tail')
+    assert text == "tail (/a)"
+    # nav anchors stay dropped regardless
+    text, _ = extract_html_text(
+        '<nav><a href="/">Home</a></nav><p>body</p>'
+    )
+    assert text == "body"
+
+
+def test_anchor_urls_count_as_link_mass_for_main_content():
+    """The rendered ' (href)' belongs to the anchor: a 'Read more' block
+    whose visible text is majority-link must stay droppable after URL
+    rendering (ratio grows, never dilutes)."""
+    html = (
+        '<div>Read more: <a href="/next">next article</a> '
+        '<a href="/prev">previous article</a></div>'
+        "<p>Real content sentence that clearly dominates its own block.</p>"
+    )
+    keep_all, _ = extract_html_text(html)
+    assert keep_all.splitlines()[0] == (
+        "Read more: next article (/next) previous article (/prev)"
+    )
+    main, _ = extract_html_text(html, main_content=True)
+    assert main == "Real content sentence that clearly dominates its own block."
+
+
+def test_pre_block_link_ratio_applies_to_every_line():
+    """ADVICE r03: multi-line <pre> used to bill the whole block's link
+    mass to its first emitted line; every line now carries one ratio."""
+    html = '<pre>plain line one\n<a href="/x">linked</a>\nplain line two</pre>'
+    keep_all, _ = extract_html_text(html)
+    assert keep_all.splitlines() == [
+        "plain line one",
+        "linked (/x)",
+        "plain line two",
+    ]
+    # the block is majority-plain, so NO line may be dropped by the
+    # heuristic (first-line billing used to drop "plain line one")
+    main, _ = extract_html_text(html, main_content=True)
+    assert main == keep_all
+
+
+def test_markup_main_prefix_forces_heuristic_per_row():
+    import b2xtranslator_spark.pipeline as pl
+
+    body = (
+        "<body><div><a href='/p'>Products</a> <a href='/q'>Pricing</a> "
+        "<a href='/d'>Docs</a></div><p>Kept content line.</p></body>"
+    )
+    assert pl._extract_one(pl.MARKUP_MAIN_PREFIX + body, None)[0] == (
+        "Kept content line."
+    )
+    # the plain prefix on the same payload keeps the menu (env knob off)
+    out = pl._extract_one(pl.MARKUP_PREFIX + body, None)[0]
+    assert out.splitlines()[0].startswith("Products (/p)")
+
+
 def test_malformed_html_never_raises():
     for payload in (
         "<p>unclosed <b>tags <div>every<where",
