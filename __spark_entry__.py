@@ -274,25 +274,40 @@ def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser drift in escapes, stream bounds, page walk or dispatch breaks
     the value hash."""
     docs = _table(spark, sf_dir, "documents")
+    # literal-string escaping: backslash first, then parens; CR becomes the
+    # \r ESCAPE (decodes back to a true CR) so raw-CR EOL normalization
+    # (pdf.py 7.3.4.2) can never rewrite corpus text. Non-ASCII text would
+    # decode latin-1 without a font CMap — the synthetic corpus is ASCII
+    # (documented assumption; real PDFs carry ToUnicode CMaps, tested in
+    # tests/test_pdf.py).
     esc = F.replace(
         F.replace(
-            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
-            F.lit("("),
-            F.lit("\\("),
+            F.replace(
+                F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+                F.lit("("),
+                F.lit("\\("),
+            ),
+            F.lit(")"),
+            F.lit("\\)"),
         ),
-        F.lit(")"),
-        F.lit("\\)"),
+        F.lit("\r"),
+        F.lit("\\r"),
     )
+    content = F.concat(F.lit("BT ("), esc, F.lit(") Tj ET\n"))
     pdf = F.concat(
         F.lit(
             "%PDF-1.4\n"
             "1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
             "2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n"
             "3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 4 0 R>>\nendobj\n"
-            "4 0 obj\n<<>>stream\nBT ("
+            "4 0 obj\n<</Length "
         ),
-        esc,
-        F.lit(") Tj ET\nendstream\nendobj\ntrailer<</Root 1 0 R>>\n%%EOF\n"),
+        # exact byte length closes the 'endstream'-substring hazard: the
+        # extractor honors a plausible /Length over the fallback scan
+        F.octet_length(F.encode(content, "UTF-8")).cast("string"),
+        F.lit(">>stream\n"),
+        content,
+        F.lit("endstream\nendobj\ntrailer<</Root 1 0 R>>\n%%EOF\n"),
     )
     transcripts = docs.select(
         F.col("source").alias("conv_id"),

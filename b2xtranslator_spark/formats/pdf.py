@@ -285,15 +285,22 @@ class _Document:
         self._scan()
 
     def _scan(self) -> None:
+        # 'N G obj' byte patterns INSIDE an already-consumed stream payload
+        # are data, not definitions (ADVICE r03: crafted or coincidental
+        # stream content must not override a real catalog/page object), so
+        # matches before the last stream's end are skipped
+        consumed_until = 0
         for i, m in enumerate(_OBJ_RE.finditer(self.buf)):
             if i % 256 == 0:
                 check_deadline()
+            if m.start() < consumed_until:
+                continue
             num = int(m.group(1))
             val, pos = _parse_value(self.buf, m.end())
             data = None
             pos = _skip_ws(self.buf, pos)
             if self.buf.startswith(b"stream", pos):
-                data = self._read_stream(val, pos)
+                data, consumed_until = self._read_stream(val, pos)
             # later definition wins (incremental update, last-edit-wins)
             self.objects[num] = (val, data)
         self._expand_object_streams()
@@ -350,7 +357,9 @@ class _Document:
                 obj, _ = _parse_value(payload, first + off)
                 self.objects[objnum] = (obj, None)
 
-    def _read_stream(self, sdict, pos: int) -> bytes:
+    def _read_stream(self, sdict, pos: int) -> tuple[bytes, int]:
+        """Returns (payload bytes, end offset of the payload in self.buf) —
+        the end offset bounds the scan's stream-interior skip window."""
         pos += len(b"stream")
         if self.buf.startswith(b"\r\n", pos):
             pos += 2
@@ -368,7 +377,7 @@ class _Document:
         if end is None:  # declared length missing/indirectly wrong: search
             e = self.buf.find(b"endstream", pos)
             end = e if e >= 0 else len(self.buf)
-        return self.buf[pos:end]
+        return self.buf[pos:end], end
 
     def resolve(self, obj, _depth: int = 0):
         while isinstance(obj, _Ref) and _depth < 32:

@@ -96,6 +96,12 @@ def _picture_error_parity(chpx: list, data_stream: bytes | None) -> None:
 
     fc = -1
     for opcode, args in chpx:
+        # DOCUMENTED DEVIATION (decided, ADVICE r03): C#'s
+        # BitConverter.ToInt32 would throw ArgumentException on a <4-byte
+        # sprm argument (GetFcPic, PictureDescriptor.cs:237-259); we treat
+        # it as "no fcPic" instead. The exact .NET message is not
+        # verifiable in this environment, and a fuzzed sprm this short is
+        # already a parse casualty — skipping is deterministic and safe.
         if opcode in (SPRM_C_PIC_LOCATION, SPRM_C_HSP) and len(args) >= 4:
             (fc,) = _struct.unpack_from("<i", args, 0)
     if fc < 0 or data_stream is None:
@@ -123,6 +129,71 @@ def _picture_error_parity(chpx: list, data_stream: bytes | None) -> None:
             pos = min(n, pos + 16)  # 4 BorderCodes via ReadBytes
             for _ in range(3):  # dxaOrigin dyaOrigin cProps
                 typed(2)
+            # Record.ReadRecord (Record.cs:250-259): verAndInstance,
+            # typeCode, size are unguarded BinaryReader typed reads — a
+            # stream truncated between cProps and the header throws
+            # EndOfStream in the reference too
+            typed(2)
+            (type_code,) = _struct.unpack("<H", typed(2))
+            (size,) = _struct.unpack("<I", typed(4))
+            # record body: both branches of Record..ctor (Record.cs:67-74)
+            # go through ReadBytes, which clamps at stream end — no throw
+            raw = data_stream[pos : pos + size]
+            pos = min(n, pos + size)
+            # container records (RegularContainer.cs:25-47) eagerly parse
+            # children from the in-memory RawData; truncated or
+            # inconsistent child headers throw EndOfStream from the
+            # MemoryStream reader and propagate (the ctor re-throws)
+            _replay_container_children(raw, size, type_code)
+            if type_code == 0xF004 and pos < fc + lcb:
+                # PictureDescriptor.cs: after a ShapeContainer, a second
+                # ReadRecord probes for a BlipStoreEntry — same unguarded
+                # header reads against the Data stream
+                typed(2)
+                (tc2,) = _struct.unpack("<H", typed(2))
+                (sz2,) = _struct.unpack("<I", typed(4))
+                raw2 = data_stream[pos : pos + sz2]
+                pos = min(n, pos + sz2)
+                _replay_container_children(raw2, sz2, tc2)
+            # explicit cut: LEAF record constructors that do typed reads
+            # over their own RawData (e.g. BlipStoreEntry field parses) are
+            # not replayed — fixture corpus never reaches them, and the
+            # clamped RawData bounds what they could read
+
+
+# OfficeDrawing containers registered in Record.Registry: BlipStore 0xF001,
+# Drawing 0xF002, Group 0xF003, Shape 0xF004, Solver 0xF005
+_CONTAINER_TYPE_CODES = frozenset((0xF001, 0xF002, 0xF003, 0xF004, 0xF005))
+
+
+def _replay_container_children(
+    raw: bytes, body_size: int, type_code: int, depth: int = 0
+) -> None:
+    """RegularContainer.cs:25-47 replay: children parse eagerly from the
+    container's RawData until the DECLARED body size is consumed; an
+    8-byte child header that runs past the (possibly clamped) RawData
+    throws EndOfStream from the MemoryStream reader. Depth-capped at 64
+    (documented deviation: the reference would recurse until C#'s stack
+    limit; a crafted deep nest must not crash the extractor)."""
+    import struct as _struct
+
+    if type_code not in _CONTAINER_TYPE_CODES or depth >= 64:
+        return
+    mpos = 0
+    consumed = 0
+    children = 0
+    while consumed < body_size:
+        children += 1
+        if children % 256 == 0:
+            check_deadline()
+        if mpos + 8 > len(raw):
+            raise PictureParseError(_EOS_MSG)
+        _ver, tc, sz = _struct.unpack_from("<HHI", raw, mpos)
+        mpos += 8
+        child_raw = raw[mpos : mpos + sz]  # ReadBytes: clamps, no throw
+        mpos += len(child_raw)
+        _replay_container_children(child_raw, sz, tc, depth + 1)
+        consumed += 8 + sz  # readSize += child.TotalSize (declared size)
 
 
 class DocumentMapping:

@@ -416,6 +416,19 @@ def paragraph_duplicates(documents: DataFrame, min_len: int = 20) -> DataFrame:
     para = documents.select(
         "doc_id", F.posexplode(all_lines).alias("line_no", "para")
     ).where(F.length("para") >= min_len)
+    # the composite arg-min key below allots 10^6 line slots per doc_id; a
+    # document beyond that would silently alias into the next doc_id and
+    # corrupt both keeper fields, so the bound is ENFORCED: the job fails
+    # loudly instead (assert_true returns NULL when the predicate holds,
+    # so the filter passes every valid row and cannot be pruned away)
+    para = para.where(
+        F.assert_true(
+            F.col("line_no") < 1000000,
+            "paragraph_duplicates: document with >= 1e6 lines breaks the "
+            "doc_id*1e6+line_no arg-min key; split the document or raise "
+            "the slot width",
+        ).isNull()
+    )
     return (
         para.groupBy(F.md5(F.encode(F.col("para"), "UTF-8")).alias("para_fp"))
         .agg(

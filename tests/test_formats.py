@@ -170,3 +170,78 @@ def test_payload_size_cap():
     res = extract_payload_text(FakeHuge(b"x"))
     assert res.status == "skipped"
     assert "size cap" in res.error
+
+
+# -- PictureDescriptor error-parity replay (ADVICE r03) -----------------------
+
+
+def _pic_chpx(fc: int = 0):
+    from b2xtranslator_spark.formats.word.sprm import SPRM_C_PIC_LOCATION
+
+    return [(SPRM_C_PIC_LOCATION, struct.pack("<i", fc))]
+
+
+def _pic_prefix(lcb: int = 1000, mm: int = 99) -> bytes:
+    """Bytes up through cProps: lcb(4) cbHeader(2) mm(2) xExt/yExt/hMf(6)
+    rcWinMf(14) 9x int16(18) 4 BorderCodes(16) dxaOrigin/dyaOrigin/cProps(6)."""
+    return (
+        struct.pack("<ihh", lcb, 0, mm)
+        + b"\x00" * 6
+        + b"\x00" * 14
+        + b"\x00" * 18
+        + b"\x00" * 16
+        + b"\x00" * 6
+    )
+
+
+def test_picture_parity_truncation_at_record_header_raises():
+    """A Data stream ending between cProps and Record.ReadRecord's 8-byte
+    header throws EndOfStream in the reference (Record.cs:254-259)."""
+    from b2xtranslator_spark.formats.word.mapping import (
+        PictureParseError,
+        _picture_error_parity,
+    )
+
+    stream = _pic_prefix()
+    assert len(stream) == 68
+    with pytest.raises(PictureParseError):
+        _picture_error_parity(_pic_chpx(), stream)
+    # a partial header (2 of 8 bytes) still throws
+    with pytest.raises(PictureParseError):
+        _picture_error_parity(_pic_chpx(), stream + b"\x00\x00")
+
+
+def test_picture_parity_unknown_record_body_clamps_no_throw():
+    """An unknown record type with an oversized declared body clamps via
+    ReadBytes (Record.cs:67-74) — no exception, matching the reference."""
+    from b2xtranslator_spark.formats.word.mapping import _picture_error_parity
+
+    header = struct.pack("<HHI", 0, 0x1234, 0xFFFF)  # unknown type, huge size
+    _picture_error_parity(_pic_chpx(), _pic_prefix() + header)  # must not raise
+
+
+def test_picture_parity_container_truncated_child_header_raises():
+    """A ShapeContainer whose RawData truncates mid-child-header replays
+    RegularContainer.cs:25-47's EndOfStream."""
+    from b2xtranslator_spark.formats.word.mapping import (
+        PictureParseError,
+        _picture_error_parity,
+    )
+
+    header = struct.pack("<HHI", 0x000F, 0xF004, 16)  # container, 16-byte body
+    with pytest.raises(PictureParseError):
+        _picture_error_parity(_pic_chpx(), _pic_prefix() + header + b"\x00" * 4)
+
+
+def test_picture_parity_deep_container_nest_terminates():
+    """A crafted self-similar container nest must terminate (depth cap), not
+    crash the extractor with a RecursionError."""
+    from b2xtranslator_spark.formats.word.mapping import _picture_error_parity
+
+    # each level: header declaring a container child filling the rest
+    depth_bytes = b""
+    for level in range(200):
+        size = 8 * (200 - level)
+        depth_bytes += struct.pack("<HHI", 0x000F, 0xF003, size)
+    header = struct.pack("<HHI", 0x000F, 0xF004, len(depth_bytes))
+    _picture_error_parity(_pic_chpx(), _pic_prefix() + header + depth_bytes)

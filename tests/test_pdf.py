@@ -90,6 +90,22 @@ def test_multiline_literal_string_verbatim():
     assert text == "first\nsecond\n\nfourth"
 
 
+def test_hostile_corpus_text_roundtrips_with_length():
+    """ADVICE r03: the oracle-query synthesis shape — /Length present, CR
+    carried as the \\r ESCAPE — must round-trip text containing the
+    'endstream' substring, raw CR, and parens verbatim."""
+    hostile = "a endstream b (c) d\re\\f"
+    esc = (
+        hostile.replace("\\", "\\\\")
+        .replace("(", "\\(")
+        .replace(")", "\\)")
+        .replace("\r", "\\r")
+    )
+    ops = b"BT (" + esc.encode() + b") Tj ET\n"
+    text = extract_pdf_text(_one_page(ops))[0]
+    assert text.rstrip("\n") == hostile
+
+
 def test_flate_stream():
     text, _ = extract_pdf_text(_one_page(b"BT (compressed text) Tj ET", flate=True))
     assert text == "compressed text"
@@ -136,6 +152,30 @@ def test_missing_catalog_falls_back_to_file_order():
     )
     text, _ = extract_pdf_text(pdf)
     assert text == "orphan page"
+
+
+def test_obj_pattern_inside_stream_payload_is_data_not_definition():
+    """ADVICE r03: 'N G obj' bytes inside a consumed stream payload must
+    not override a real object parsed elsewhere — crafted content cannot
+    hijack the catalog/page objects."""
+    # the content stream's payload embeds a fake redefinition of object 3
+    # (the page) pointing at a bogus contents object 9
+    evil = b"BT (real text) Tj ET\n3 0 obj\n<</Type/Page/Contents 9 0 R>>\nendobj\n"
+    pdf = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(evil),
+            9: _content(b"BT (hijacked) Tj ET"),
+        }
+    )
+    text = extract_pdf_text(pdf)[0]
+    assert "real text" in text
+    assert "hijacked" not in text
+    # a REAL later redefinition (outside any stream) still wins
+    pdf2 = pdf + b"4 0 obj\n" + _content(b"BT (updated) Tj ET") + b"\nendobj\n"
+    assert "updated" in extract_pdf_text(pdf2)[0]
 
 
 def test_incremental_update_last_definition_wins():
