@@ -257,6 +257,59 @@ def _ascii_85_decode(data: bytes) -> bytes:
         return b""
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """7.4.4 LZWDecode: variable 9..12-bit codes, MSB-first bit packing,
+    256 = clear-table, 257 = EOD; code width grows when the next entry
+    would overflow the current width, one code EARLY by default
+    (/EarlyChange 1, the spec default matching TIFF). Corrupt input
+    returns the decoded prefix (best-effort, fuzzer-tolerant — same
+    contract as the truncated-deflate salvage above)."""
+    out = bytearray()
+    table: list[bytes] = []
+    prev: bytes | None = None
+    width = 9
+
+    def _reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    _reset()
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                _reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table) or code > 255:
+                    return bytes(out)  # first code must be a literal
+                prev = table[code]
+                out += prev
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                return bytes(out)  # corrupt code: keep the prefix
+            table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+        bitbuf &= (1 << nbits) - 1  # drop consumed bits, bound the accumulator
+    return bytes(out)
+
+
 def _run_length_decode(data: bytes) -> bytes:
     """7.4.5 RunLengthDecode: length byte n in 0..127 copies n+1 literals,
     129..255 repeats the next byte 257-n times, 128 is EOD."""
@@ -401,8 +454,11 @@ class _Document:
             return b""
         filt = self.resolve(sdict.get("/Filter")) if isinstance(sdict, dict) else None
         filters = filt if isinstance(filt, list) else [filt] if filt else []
-        for f in filters:
+        parms = self.resolve(sdict.get("/DecodeParms")) if isinstance(sdict, dict) else None
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for i, f in enumerate(filters):
             name = self.resolve(f)
+            parm = self.resolve(parms_list[i]) if i < len(parms_list) else None
             if name == "/FlateDecode":
                 try:
                     data = zlib.decompress(data)
@@ -417,7 +473,11 @@ class _Document:
                 data = _ascii_85_decode(data)
             elif name == "/RunLengthDecode":
                 data = _run_length_decode(data)
-            # unknown filters (DCT, LZW, ...) pass through undecoded; text
+            elif name == "/LZWDecode":
+                ec = parm.get("/EarlyChange") if isinstance(parm, dict) else None
+                ec = self.resolve(ec)
+                data = _lzw_decode(data, 1 if not isinstance(ec, int) else ec)
+            # unknown filters (DCT, JPX, ...) pass through undecoded; text
             # content in scope uses the ones above or none
         return data
 

@@ -246,6 +246,60 @@ def build_xls_fixture() -> tuple[bytes, str]:
     return make_cfb([("Workbook", workbook)]), expected
 
 
+def build_xls_shared_formula_fixture() -> tuple[bytes, str]:
+    """BIFF8 workbook proving the ShrFmla / Date1904 parity residue
+    (VERDICT r03 #7): a shared-formula group — first Formula record (with
+    the fShrFmla grbit) followed by the ShrFmla definition record
+    [MS-XLS 2.4.277], then follower Formula records — where every cell's
+    CACHED result is emitted from its own Formula record, the ShrFmla
+    definition itself is text-neutral (skip-by-length), and the 1904
+    date-system flag (Date1904 [MS-XLS 2.4.77]) does not alter raw
+    numeric output. The reference's extractor behaves identically: it
+    reads cached results per Formula and applies no date formatting
+    (WorksheetExtractor.cs:48-255)."""
+    # ShrFmla: RefU range rows 0-2 col 0, reserved, cUse=3, cce=5, rgce
+    shr_payload = (
+        struct.pack("<HHBB", 0, 2, 0, 0) + b"\x00" + b"\x03"
+        + struct.pack("<H", 5) + b"\x1e\x2a\x00\x1e"  # dummy parsed-expr bytes
+    )
+
+    def formula_num(rw: int, col: int, value: float, shared: bool) -> bytes:
+        grbit = 0x0008 if shared else 0x0000  # fShrFmla
+        return _rec(
+            0x0006,
+            struct.pack("<HHH", rw, col, 0)
+            + struct.pack("<d", value)
+            + struct.pack("<HIH", grbit, 0, 0),
+        )
+
+    sheet = (
+        _bof(0x0010)
+        + formula_num(0, 0, 10.5, shared=True)   # group leader, cached 10.5
+        + _rec(0x04BC, shr_payload)              # ShrFmla definition (neutral)
+        + formula_num(1, 0, 20.5, shared=True)   # followers: own cached values
+        + formula_num(2, 0, 30.5, shared=True)
+        # a 1904-era serial date stays a raw number in text output
+        + _rec(0x0203, struct.pack("<HHHd", 3, 0, 0, 366.0))
+        + _rec(0x000A, b"")
+    )
+
+    def globals_block(pos: int) -> bytes:
+        return (
+            _bof(0x0005)
+            + _rec(0x0022, struct.pack("<H", 1))  # Date1904: f1904 = 1
+            + _rec(
+                0x0085,
+                struct.pack("<IBB", pos, 0, 0) + bytes([6, 0x00]) + b"Shared",
+            )
+            + _rec(0x000A, b"")
+        )
+
+    glb = globals_block(0)
+    workbook = globals_block(len(glb)) + sheet
+    expected = "\n".join(["Shared", "10.5", "20.5", "30.5", "366"])
+    return make_cfb([("Workbook", workbook)]), expected
+
+
 # -- PPT deck fixture ----------------------------------------------------------
 
 

@@ -14,12 +14,25 @@ from b2xtranslator_spark.sources.binfixtures import (
     build_ppt_fixture,
     build_ppt_incremental_fixture,
     build_xls_fixture,
+    build_xls_shared_formula_fixture,
 )
 from b2xtranslator_spark.extractors import extract_payload_text
 
 
 def test_xls_fixture_parity():
     payload, expected = build_xls_fixture()
+    res = extract_payload_text(payload)
+    assert res.status == "ok", res.error
+    assert res.kind == "xls"
+    assert res.text == expected
+
+
+def test_xls_shared_formula_and_1904_parity():
+    """VERDICT r03 #7: shared-formula cached results come from each cell's
+    own Formula record (the ShrFmla definition is text-neutral), and the
+    Date1904 flag does not change raw numeric output — matching the
+    reference extractor, which ignores both."""
+    payload, expected = build_xls_shared_formula_fixture()
     res = extract_payload_text(payload)
     assert res.status == "ok", res.error
     assert res.kind == "xls"
@@ -47,7 +60,7 @@ def test_fixtures_survive_mutation_fuzz():
     import time
 
     rng = np.random.default_rng(77)
-    for payload, _ in (build_xls_fixture(), build_ppt_fixture()):
+    for payload, _ in (build_xls_fixture(), build_xls_shared_formula_fixture(), build_ppt_fixture()):
         buf = bytearray(payload)
         for _ in range(40):
             mutated = bytearray(buf)
@@ -64,7 +77,7 @@ def test_fixtures_survive_mutation_fuzz():
 
 
 def test_truncated_fixtures_never_raise():
-    for payload, _ in (build_xls_fixture(), build_ppt_fixture()):
+    for payload, _ in (build_xls_fixture(), build_xls_shared_formula_fixture(), build_ppt_fixture()):
         for frac in (0.02, 0.3, 0.7, 0.95):
             res = extract_payload_text(payload[: max(1, int(len(payload) * frac))])
             assert res.status in (

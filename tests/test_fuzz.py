@@ -54,3 +54,28 @@ def test_truncated_documents_never_raise():
         # random small garbage
         res = extract_payload_text(bytes(rng.integers(0, 256, size=700, dtype=np.uint8)))
         assert res.status in ("parse_error", "unsupported")
+
+
+def test_mutated_lzw_pdf_streams_never_raise_and_stay_bounded():
+    """LZW-filtered PDF content streams under seeded byte flips must stay
+    inside the row-tolerance contract (decode salvages a prefix or the
+    text machine sees garbage — never an exception, never a stall)."""
+    from tests.test_pdf import _lzw_encode, _one_page
+
+    rng = np.random.default_rng(777)
+    ops = (b"BT (fuzz seed text for the lzw soak) Tj ET\n" * 40)
+    enc = _lzw_encode(ops)
+    base = _one_page(enc, length=b"%d" % len(enc))
+    base = base.replace(b"/Length", b"/Filter/LZWDecode/Length", 1)
+    for _ in range(200):
+        mutated = bytearray(base)
+        n_flips = int(rng.integers(1, 30))
+        idx = rng.integers(0, len(mutated), size=n_flips)
+        vals = rng.integers(0, 256, size=n_flips)
+        for i, v in zip(idx, vals):
+            mutated[i] = v
+        t0 = time.perf_counter()
+        res = extract_payload_text(bytes(mutated))
+        dt = time.perf_counter() - t0
+        assert res.status in ("ok", "parse_error", "unsupported", "timeout")
+        assert dt < 10

