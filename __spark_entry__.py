@@ -366,6 +366,111 @@ def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_audio_features(media)
 
 
+def _q_media_image_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine ORACLE TWIN for the image decode + feature path (the
+    similarity_topk_ivf_grid pattern applied to media): each document gets
+    an 8x8 RGB image whose pixels follow pure integer arithmetic,
+    pixel(y,x,c) = (doc_id*7 + y*3 + x*5 + c*11) % 256, encoded through
+    the REAL codecs (PNG with a rotating filter type for even doc_ids, BMP
+    for odd — the oracle is codec-blind, so a decode bug in EITHER breaks
+    the hash), decoded and mean-pooled by the REAL feature kernel
+    (operators/multimodal.py), while the oracle restates the pooled
+    channel means / maxes / mins from the arithmetic alone. Every emitted
+    value is an exact multiple of 1/64 — float32-exact, so no rounding
+    slack is hiding drift."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from b2xtranslator_spark.formats.imaging import encode_bmp, encode_png
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for d in pdf["doc_id"].values:
+                d = int(d)
+                y, x, c = np.meshgrid(
+                    np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+                )
+                img = ((d * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                payload = (
+                    encode_png(img, filter_type=d % 5)
+                    if d % 2 == 0
+                    else encode_bmp(img)
+                )
+                rows["media_id"].append(f"d-{d:06d}")
+                rows["kind"].append("image")
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(
+        synth, schema="media_id string, kind string, payload binary"
+    )
+    feats = run_media_features(media)
+
+    def g(i: int, name: str):
+        return F.round(F.get(F.col("feature"), i).cast("double"), 4).alias(name)
+
+    return feats.select(
+        "media_id",
+        g(0, "mean_r"), g(1, "mean_g"), g(2, "mean_b"),
+        g(6, "max_r"), g(7, "max_g"), g(8, "max_b"),
+        g(9, "min_r"), g(10, "min_g"), g(11, "min_b"),
+        "status",
+    )
+
+
+def _q_media_audio_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine ORACLE TWIN for the WAV decode + audio-feature path:
+    each document gets a 256-sample square wave at 8 kHz whose PCM
+    magnitude q = 1000 + (doc_id%1000)*20 and half-period p = 8 + doc_id%8
+    are pure integer arithmetic. The REAL encoder/decoder + feature kernel
+    run end-to-end (formats/audio.py), while the oracle restates RMS
+    (= q/32768 exactly — constant-magnitude wave), zero-crossing rate
+    (= floor(255/p)*8000/256) and duration from the arithmetic alone.
+    Spectral centroid is excluded (FFT is not portably SQL-expressible)."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from b2xtranslator_spark.formats.audio import encode_wav
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for d in pdf["doc_id"].values:
+                d = int(d)
+                q = 1000 + (d % 1000) * 20
+                p = 8 + d % 8
+                i = np.arange(256)
+                sign = np.where((i // p) % 2 == 0, 1.0, -1.0)
+                rows["media_id"].append(f"d-{d:06d}")
+                rows["payload"].append(
+                    encode_wav(sign * (q / 32767.0), sample_rate=8000)
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(synth, schema="media_id string, payload binary")
+    af = run_audio_features(media)
+    return af.select(
+        "media_id",
+        F.round(F.col("duration_s").cast("double"), 6).alias("duration_s"),
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
+        F.round(F.col("zcr").cast("double"), 6).alias("zcr"),
+        "status",
+    )
+
+
 def _q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via perceptual dHash over REAL decoded PNG/BMP pixels
     + banded Hamming pair-finding. Oracle-less by nature (PNG decode is not
@@ -708,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markup_transcripts": _q_extract_markup,
         "extract_markup_main_content": _q_extract_markup_main,
         "extract_pdf_transcripts": _q_extract_pdf,
+        "media_image_features_grid": _q_media_image_grid,
+        "media_audio_features_grid": _q_media_audio_grid,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
@@ -754,9 +861,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_verify_join": _q_extract_verify,
         "extract_metrics_agg": _q_extract_metrics,
         "similarity_topk_ivf": _q_ann_ivf,
+        "media_image_neardup": _q_media_image_neardup,
+        # below the driver's observed 50-row window: the decode kernels
+        # behind these four are cross-engine checked by the
+        # media_image_features_grid / media_audio_features_grid twins above
+        # and by pytest goldens
         "media_features": _q_media_features,
         "media_audio_features": _q_media_audio_features,
-        "media_image_neardup": _q_media_image_neardup,
         "media_thumbnails": _q_media_thumbnails,
         "media_frame_samples": _q_media_frames,
     }
@@ -774,6 +885,35 @@ def _sql_words(expr: str = "text") -> str:
 _LSH_M1, _LSH_M2, _LSH_MX, _LSH_C, _LSH_MOD, _LSH_HALF = (
     48271, 69621, 2654435761, 7919, 2001, 1000
 )
+
+
+def _sql_media_image_grid() -> str:
+    """Oracle for _q_media_image_grid: restate each 2x2 pool mean from the
+    pixel arithmetic (16 pools, k = 4*py + px), then aggregate per channel.
+    All values are multiples of 1/64 — exact in float32 AND double, so the
+    round(4) carries no slack."""
+
+    def pool_list(c: int) -> str:
+        terms = " + ".join(
+            f"((doc_id*7 + (2*(k//4)+{dy})*3 + (2*(k%4)+{dx})*5 + {c * 11}) % 256)"
+            for dy in (0, 1)
+            for dx in (0, 1)
+        )
+        return f"list_transform(range(0, 16), k -> ({terms}) / 4.0)"
+
+    cols = []
+    for c, ch in enumerate("rgb"):
+        pl = pool_list(c)
+        cols.append(f"round(list_sum({pl}) / 16.0, 4) AS mean_{ch}")
+        cols.append(f"round(list_max({pl}), 4) AS max_{ch}")
+        cols.append(f"round(list_min({pl}), 4) AS min_{ch}")
+    inner = ",\n                   ".join(cols)
+    return f"""
+            SELECT 'd-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   {inner},
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
+        """
 
 
 def _sql_h60(expr: str) -> str:
@@ -1026,6 +1166,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS extracted,
                    'ok' AS status
             FROM documents
+        """,
+        # image decode + feature twin: the 4x4 pooled channel means / maxes
+        # / mins restated from the pixel arithmetic alone — 16 pools of 2x2
+        # pixels, pixel(y,x,c) = (doc_id*7 + y*3 + x*5 + c*11) % 256; the
+        # Spark side decoded REAL PNG/BMP bytes to get the same numbers
+        "media_image_features_grid": _sql_media_image_grid(),
+        # audio decode + feature twin: RMS of a constant-magnitude square
+        # wave is q/32768 exactly, ZCR counts the floor(255/p) half-period
+        # boundaries, duration is 256 samples at 8 kHz
+        "media_audio_features_grid": """
+            SELECT 'd-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   round(256.0 / 8000.0, 6) AS duration_s,
+                   round((1000 + (doc_id % 1000) * 20) / 32768.0, 6) AS rms,
+                   round((255 // (8 + doc_id % 8)) * 8000.0 / 256.0, 6) AS zcr,
+                   'ok' AS status
+            FROM documents WHERE doc_id < 200
         """,
         # PDF identity roundtrip: literal strings carry the text verbatim;
         # the extractor rstrips trailing newlines at content level
