@@ -33,6 +33,10 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     simhash,
     simhash_candidate_pairs,
 )
+from b2xtranslator_spark.operators.conversation import (  # noqa: E402
+    assemble_conversations,
+    turn_windows,
+)
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
     image_near_duplicates,
     resize_thumbnails,
@@ -471,6 +475,65 @@ def _q_media_audio_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin for the frame-sampling SCHEDULE (the part of
+    sample_frames that is real distributed logic rather than the declared
+    video-decode stub): per-document video rows with arithmetic
+    duration_ms explode into evenly spaced (frame_idx, ts_ms) rows,
+    ts = (duration * fi) // n_frames. The oracle restates the schedule;
+    the stub feature array is excluded."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .where(F.col("doc_id") < 100)
+    )
+    media = docs.select(
+        F.concat(
+            F.lit("v-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("source"), "UTF-8").alias("payload"),
+        (F.lit(1000) + (F.col("doc_id") * 37) % 9000)
+        .cast("int")
+        .alias("duration_ms"),
+    )
+    return sample_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "ts_ms", "status"
+    )
+
+
+def _turns_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-turn transcript shape from the documents table
+    (conv_id = source, turn_idx = doc_id — globally unique, so per-conv
+    ordering is total)."""
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+
+
+def _q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly (operators/conversation.py): one shuffle on
+    conv_id, per-conversation ordering via array_sort inside the aggregate
+    — no global sort. Oracle: string_agg(... ORDER BY turn_idx)."""
+    turns = _turns_from_docs(_table(spark, sf_dir, "documents"))
+    return assemble_conversations(turns)
+
+
+def _q_turn_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding turn-context windows (k=3): the supervised-sample shape.
+    One conv_id shuffle, O(k) state per row. Oracle: windowed string_agg
+    over the same ROWS frame."""
+    turns = _turns_from_docs(
+        _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
+    return turn_windows(turns, k=3)
+
+
 def _q_media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via perceptual dHash over REAL decoded PNG/BMP pixels
     + banded Hamming pair-finding. Oracle-less by nature (PNG decode is not
@@ -815,6 +878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_transcripts": _q_extract_pdf,
         "media_image_features_grid": _q_media_image_grid,
         "media_audio_features_grid": _q_media_audio_grid,
+        "media_frame_schedule": _q_media_frame_schedule,
+        "assemble_conversations": _q_assemble_conversations,
+        "turn_context_windows": _q_turn_windows,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
@@ -1182,6 +1248,54 @@ def oracle_sql() -> dict[str, str]:
                    round((255 // (8 + doc_id % 8)) * 8000.0 / 256.0, 6) AS zcr,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
+        """,
+        # frame-sampling schedule: evenly spaced timestamps restated as
+        # (duration * fi) // n_frames over an explicit frame cross join
+        "media_frame_schedule": """
+            SELECT 'v-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   fi AS frame_idx,
+                   ((1000 + (doc_id * 37) % 9000) * fi) // 4 AS ts_ms,
+                   'ok' AS status
+            FROM documents, (SELECT unnest(range(0, 4)) AS fi)
+            WHERE doc_id < 100
+        """,
+        # conversation assembly: the per-conversation ordered fold stated
+        # as string_agg(... ORDER BY turn_idx) — any drift in the Spark
+        # side's array_sort-inside-aggregate ordering breaks the hash
+        "assemble_conversations": """
+            WITH t AS (
+                SELECT source AS conv_id, doc_id AS turn_idx,
+                       CASE WHEN doc_id % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(text, 1, 120) AS txt
+                FROM documents
+            )
+            SELECT conv_id,
+                   string_agg(role || ': ' || txt, chr(10)
+                              ORDER BY turn_idx) AS text,
+                   count(*) AS n_turns,
+                   count(*) AS n_turns_total
+            FROM t GROUP BY conv_id
+        """,
+        # sliding turn-context windows: the same ROWS frame as the Spark
+        # window, k = 3
+        "turn_context_windows": """
+            WITH t AS (
+                SELECT source AS conv_id, doc_id AS turn_idx,
+                       CASE WHEN doc_id % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(text, 1, 120) AS txt
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT conv_id, turn_idx,
+                   string_agg(role || ': ' || txt, chr(10)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS context,
+                   count(*) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS n_context_turns
+            FROM t
         """,
         # PDF identity roundtrip: literal strings carry the text verbatim;
         # the extractor rstrips trailing newlines at content level

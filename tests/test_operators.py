@@ -733,3 +733,71 @@ def test_ivf_grid_scores_exactly_and_recalls(embeddings):
     assert set(brute.vec_id) <= set(wide.vec_id)  # all cells probed = exact
     again = ivf_topk_grid(embeddings, 0, k=50, n_centroids=16, n_probe=4).toPandas()
     assert ann.vec_id.tolist() == again.vec_id.tolist()
+
+
+# -- conversation operators (round 4) -----------------------------------------
+
+
+def test_assemble_conversations_orders_and_truncates(spark):
+    from b2xtranslator_spark.operators.conversation import assemble_conversations
+
+    rows = [
+        ("c1", 2, "user", "third"),
+        ("c1", 0, "user", "first"),
+        ("c1", 1, "assistant", "second"),
+        ("c2", 5, "user", "solo"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in assemble_conversations(turns).collect()}
+    assert out["c1"]["text"] == "user: first\nassistant: second\nuser: third"
+    assert out["c1"]["n_turns"] == 3 and out["c1"]["n_turns_total"] == 3
+    assert out["c2"]["text"] == "user: solo"
+    # truncation is head-of-conversation and OBSERVABLE via n_turns_total
+    trunc = {
+        r["conv_id"]: r
+        for r in assemble_conversations(turns, max_turns=2).collect()
+    }
+    assert trunc["c1"]["text"] == "user: first\nassistant: second"
+    assert trunc["c1"]["n_turns"] == 2 and trunc["c1"]["n_turns_total"] == 3
+    # role_tags=False drops the prefixes
+    plain = {
+        r["conv_id"]: r
+        for r in assemble_conversations(turns, role_tags=False).collect()
+    }
+    assert plain["c1"]["text"] == "first\nsecond\nthird"
+
+
+def test_turn_windows_partial_head_frames(spark):
+    from b2xtranslator_spark.operators.conversation import turn_windows
+
+    rows = [("c", i, "user", f"t{i}") for i in range(5)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["turn_idx"]: r for r in turn_windows(turns, k=3).collect()}
+    assert out[0]["context"] == "user: t0" and out[0]["n_context_turns"] == 1
+    assert out[1]["context"] == "user: t0\nuser: t1"
+    assert out[4]["context"] == "user: t2\nuser: t3\nuser: t4"
+    assert out[4]["n_context_turns"] == 3
+
+
+def test_assemble_conversations_single_shuffle(spark):
+    """The 100TB posture: assembly is scan -> ONE Exchange on conv_id ->
+    sort-free aggregate (ordering lives inside array_sort)."""
+    from b2xtranslator_spark.operators.conversation import assemble_conversations
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    turns = docs.selectExpr(
+        "source AS conv_id", "doc_id AS turn_idx",
+        "'user' AS role", "substring(text, 1, 50) AS text"
+    )
+    plan = (
+        assemble_conversations(turns)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Sort" not in plan.split("Exchange")[0]  # no post-shuffle global sort
