@@ -38,6 +38,7 @@ from b2xtranslator_spark.operators.conversation import (  # noqa: E402
     turn_windows,
 )
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
+    image_dhash,
     image_near_duplicates,
     resize_thumbnails,
     run_audio_features,
@@ -475,6 +476,94 @@ def _q_media_audio_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_image_dhash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin for the perceptual dHash kernel: 16x18 grid-pattern
+    images (even pool divisions: 2x2 pixels per pooled cell, 8x9 pooled
+    grid) through the REAL PNG/BMP decode + grayscale + mean-pool +
+    gradient-bit path. Each gradient bit reduces to comparing two INTEGER
+    sums of 12 pixel values (4 positions x 3 channels — the /3 grayscale
+    and /4 pool means cancel), so the oracle states the full 64-bit hash
+    exactly, including the signed-int64 wrap of the top bit. Pool gaps are
+    multiples of 1/12, three orders above float32 rounding — no boundary
+    flakiness."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from b2xtranslator_spark.formats.imaging import encode_bmp, encode_png
+
+        for pdf in batches:
+            rows = {"media_id": [], "payload": []}
+            for d in pdf["doc_id"].values:
+                d = int(d)
+                y, x, c = np.meshgrid(
+                    np.arange(16), np.arange(18), np.arange(3), indexing="ij"
+                )
+                img = ((d * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                rows["media_id"].append(f"d-{d:06d}")
+                rows["payload"].append(
+                    encode_png(img, filter_type=d % 5)
+                    if d % 2 == 0
+                    else encode_bmp(img)
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(synth, schema="media_id string, payload binary")
+    return image_dhash(media).select("media_id", "dhash", "status")
+
+
+def _q_media_thumbnails_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin for the thumbnail kernel: 8x8 grid images through the
+    REAL decode + 4x4 mean-pool + uint8 cast, compared as hex strings.
+    Pool means are exact quarters, so the uint8 truncation is the integer
+    division S // 4 of the 4-pixel sum — stated byte-for-byte in SQL."""
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 200)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from b2xtranslator_spark.formats.imaging import encode_bmp, encode_png
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for d in pdf["doc_id"].values:
+                d = int(d)
+                y, x, c = np.meshgrid(
+                    np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+                )
+                img = ((d * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                rows["media_id"].append(f"d-{d:06d}")
+                rows["kind"].append("image")
+                rows["payload"].append(
+                    encode_png(img, filter_type=d % 5)
+                    if d % 2 == 0
+                    else encode_bmp(img)
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(
+        synth, schema="media_id string, kind string, payload binary"
+    )
+    return resize_thumbnails(media).select(
+        "media_id",
+        F.hex(F.col("thumb")).alias("thumb_hex"),
+        "thumb_w",
+        "thumb_h",
+        "status",
+    )
+
+
 def _q_media_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle twin for the frame-sampling SCHEDULE (the part of
     sample_frames that is real distributed logic rather than the declared
@@ -865,12 +954,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks queries in dict
     # order and truncated after 50 rows in round 3 (51 exported, 50 checked,
-    # the last-inserted entry dropped).  Oracle-paired queries therefore come
+    # the last-inserted entry dropped).  The 50 oracle-paired queries come
     # FIRST so every cross-engine check lands inside the driver's window; the
     # no_oracle tail (binary-decode extraction whose spec is the 206-fixture
-    # suite, media kernels on synthetic payloads, the learned-quantizer IVF)
-    # is ordered by importance and fully covered by pytest either way.  The
-    # complete local scoreboard is committed as CORRECTNESS_LOCAL_r04.txt.
+    # suite + the driver's entry() smoke check, media kernels now
+    # cross-checked by their *_grid oracle twins, the learned-quantizer IVF
+    # twinned by similarity_topk_ivf_grid) is ordered by importance and fully
+    # covered by pytest either way.  The complete 59-query local scoreboard
+    # is committed as CORRECTNESS_LOCAL_r04.txt.
     return {
         # -- oracle-paired (cross-engine checked vs DuckDB) -----------------
         "extract_markup_transcripts": _q_extract_markup,
@@ -878,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_transcripts": _q_extract_pdf,
         "media_image_features_grid": _q_media_image_grid,
         "media_audio_features_grid": _q_media_audio_grid,
+        "media_image_dhash_grid": _q_media_image_dhash_grid,
+        "media_thumbnails_grid": _q_media_thumbnails_grid,
         "media_frame_schedule": _q_media_frame_schedule,
         "assemble_conversations": _q_assemble_conversations,
         "turn_context_windows": _q_turn_windows,
@@ -951,6 +1044,63 @@ def _sql_words(expr: str = "text") -> str:
 _LSH_M1, _LSH_M2, _LSH_MX, _LSH_C, _LSH_MOD, _LSH_HALF = (
     48271, 69621, 2654435761, 7919, 2001, 1000
 )
+
+
+def _sql_media_image_dhash_grid() -> str:
+    """Oracle for _q_media_image_dhash_grid: bit (r, c) compares the
+    integer sums S(r, c+1) > S(r, c) of 12 pixel values (grayscale /3 and
+    pool /4 divisors cancel); MSB-first packing with the top bit's signed
+    int64 wrap stated explicitly."""
+    s_terms = " + ".join(
+        f"((doc_id*7 + (2*(k//9)+{dy})*3 + (2*(k%9)+{dx})*5 + {ch * 11}) % 256)"
+        for dy in (0, 1)
+        for dx in (0, 1)
+        for ch in (0, 1, 2)
+    )
+    return f"""
+            WITH p AS (
+                SELECT doc_id,
+                       list_transform(range(0, 72), k -> {s_terms}) AS pools
+                FROM documents WHERE doc_id < 200
+            ),
+            b AS (
+                SELECT doc_id,
+                       list_transform(range(0, 64),
+                           k -> CASE WHEN pools[(k//8)*9 + (k%8) + 2]
+                                         > pools[(k//8)*9 + (k%8) + 1]
+                                     THEN 1 ELSE 0 END) AS bits
+                FROM p
+            )
+            SELECT 'd-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   CAST(
+                     CAST(list_sum(list_transform(range(1, 64),
+                         k -> bits[k + 1] * (CAST(1 AS BIGINT) << (63 - k))))
+                         AS BIGINT)
+                     + CASE WHEN bits[1] = 1
+                            THEN -9223372036854775808 ELSE 0 END
+                   AS BIGINT) AS dhash,
+                   'ok' AS status
+            FROM b
+        """
+
+
+def _sql_media_thumbnails_grid() -> str:
+    """Oracle for _q_media_thumbnails_grid: byte k (C-order (py, px, c)) is
+    the 4-pixel same-channel sum integer-divided by 4, hex-encoded."""
+    s_terms = " + ".join(
+        f"((doc_id*7 + (2*(k//12)+{dy})*3 + (2*((k%12)//3)+{dx})*5"
+        f" + (k%3)*11) % 256)"
+        for dy in (0, 1)
+        for dx in (0, 1)
+    )
+    return f"""
+            SELECT 'd-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+                   array_to_string(list_transform(range(0, 48),
+                       k -> lpad(upper(hex(({s_terms}) // 4)), 2, '0')),
+                       '') AS thumb_hex,
+                   4 AS thumb_w, 4 AS thumb_h, 'ok' AS status
+            FROM documents WHERE doc_id < 200
+        """
 
 
 def _sql_media_image_grid() -> str:
@@ -1249,6 +1399,11 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status
             FROM documents WHERE doc_id < 200
         """,
+        # thumbnail twin: byte-for-byte hex of the pooled uint8 image
+        "media_thumbnails_grid": _sql_media_thumbnails_grid(),
+        # perceptual dHash twin: every gradient bit as an integer-sum
+        # comparison, MSB-first packing with explicit signed-int64 wrap
+        "media_image_dhash_grid": _sql_media_image_dhash_grid(),
         # frame-sampling schedule: evenly spaced timestamps restated as
         # (duration * fi) // n_frames over an explicit frame cross join
         "media_frame_schedule": """
