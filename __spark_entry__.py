@@ -74,6 +74,8 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     token_length_quantiles,
     top_tokens,
     top_tokens_sketch,
+    unigram_logprob,
+    url_domain_stats,
     winnowing_fingerprints,
 )
 from b2xtranslator_spark.pipeline import (  # noqa: E402
@@ -474,6 +476,32 @@ def _q_media_audio_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("zcr").cast("double"), 6).alias("zcr"),
         "status",
     )
+
+
+def _q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level URL stats (the blocklist/per-domain-weight input):
+    URLs planted deterministically per document (one rotating subdomain +
+    one mixed-case www. host), extracted and normalized by the operator;
+    the oracle mirrors the same RE2-safe regex + normalization in DuckDB
+    over identically synthesized text."""
+    docs = _table(spark, sf_dir, "documents")
+    with_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ref: https://s"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p alt: http://WWW.Example.ORG/q"),
+        ).alias("text"),
+    )
+    return url_domain_stats(with_urls)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency proxy: 2-pass self-fit (top-500 vocab broadcast,
+    add-1 smoothing); oracle recomputes the same model in SQL."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return unigram_logprob(docs, vocab_size=500)
 
 
 def _q_media_image_dhash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features_grid": _q_media_image_grid,
         "media_audio_features_grid": _q_media_audio_grid,
         "media_image_dhash_grid": _q_media_image_dhash_grid,
+        "url_domain_stats": _q_url_domains,
+        "text_unigram_logprob": _q_unigram_logprob,
         "media_thumbnails_grid": _q_media_thumbnails_grid,
         "media_frame_schedule": _q_media_frame_schedule,
         "assemble_conversations": _q_assemble_conversations,
@@ -1398,6 +1428,55 @@ def oracle_sql() -> dict[str, str]:
                    round((255 // (8 + doc_id % 8)) * 8000.0 / 256.0, 6) AS zcr,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
+        """,
+        # URL domain stats: the same RE2-safe regex + www-strip + lowercase
+        # over identically planted URLs, one hash-agg
+        "url_domain_stats": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' ref: https://s' || (doc_id % 20)
+                            || '.example.com/p alt: http://WWW.Example.ORG/q'
+                           AS text
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                           'https?://([a-zA-Z0-9][a-zA-Z0-9.-]*\.[a-zA-Z]{2,})',
+                           1)) AS dom
+                FROM d
+            ),
+            n AS (
+                SELECT doc_id,
+                       regexp_replace(lower(dom), '^www\.', '') AS domain
+                FROM e
+            )
+            SELECT domain,
+                   count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM n GROUP BY domain
+        """,
+        # unigram LM logprob: the same self-fit model restated — top-500
+        # vocab (count desc, token asc), add-1 smoothing with one shared
+        # OOV type, natural log, per-doc mean rounded to 3
+        "text_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents WHERE doc_id < 300
+            ),
+            t2 AS (SELECT * FROM tok WHERE length(w) > 0),
+            c AS (SELECT w, count(*) AS n FROM t2 GROUP BY w),
+            v AS (SELECT w, n FROM c ORDER BY n DESC, w ASC LIMIT 500),
+            tot AS (
+                SELECT count(*) AS total, count(DISTINCT w) AS types FROM t2
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(ln((coalesce(v.n, 0) + 1.0)
+                                / (tot.total + 1.0 * (tot.types + 1)))), 3)
+                       AS mean_logprob
+            FROM t2 LEFT JOIN v USING (w), tot
+            GROUP BY doc_id
         """,
         # thumbnail twin: byte-for-byte hex of the pooled uint8 image
         "media_thumbnails_grid": _sql_media_thumbnails_grid(),

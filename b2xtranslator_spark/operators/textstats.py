@@ -686,3 +686,77 @@ def top_tokens_sketch(
         .orderBy(F.desc("est"), F.asc("w"))
         .limit(k)
     )
+
+
+_URL_RE = r"https?://([a-zA-Z0-9][a-zA-Z0-9.-]*\.[a-zA-Z]{2,})"
+
+
+def url_domain_stats(documents: DataFrame, min_docs: int = 1) -> DataFrame:
+    """Domain-level URL statistics — the input side of every
+    blocklist/allowlist corpus filter (UT1-style domain filtering) and of
+    per-domain sampling weights: extract every http(s) URL host from the
+    text, normalize (lowercase, strip a leading www.), and count mentions
+    and distinct documents per domain.
+
+    Plan: regexp_extract_all is row-local (no UDF), explode carries only
+    the short domain strings (never the document text), then ONE hash-agg
+    with map-side partial aggregation — a boilerplate domain repeated on
+    every page pre-aggregates inside each task, the same skew argument as
+    top_tokens. Deterministic output ordering is the caller's concern
+    (this returns the full domain table for joining against blocklists)."""
+    doms = documents.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(_URL_RE), 1)).alias("d"),
+    ).select(
+        "doc_id",
+        F.regexp_replace(F.lower("d"), r"^www\.", "").alias("domain"),
+    )
+    return (
+        doms.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def unigram_logprob(
+    documents: DataFrame, vocab_size: int = 1000, alpha: float = 1.0
+) -> DataFrame:
+    """Unigram language-model log-probability per document — the cheap
+    perplexity proxy corpus pipelines use as a fluency/quality signal
+    (a KenLM stand-in when no external LM is available): fit unigram
+    counts on the corpus itself, keep the top ``vocab_size`` types, score
+    every document by its mean token log-probability under add-alpha
+    smoothing (OOV tokens share the smoothed floor).
+
+    Plan (the 2-pass broadcast shape that survives 100 TB):
+      pass 1: explode -> hash-agg token counts (map-side partial agg) ->
+              top-V TakeOrdered (V rows on the driver, not the vocabulary);
+      pass 2: explode -> BROADCAST join tokens x vocab (the corpus-sized
+              side never shuffles) -> per-doc partial-agg sum of logs.
+    Deterministic: top-V tiebreak is (count desc, token asc); the smoothing
+    denominator uses the full corpus token count."""
+    words = _words()
+    tok = documents.select("doc_id", F.explode(words).alias("w")).where(
+        F.length("w") > 0
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.orderBy(F.desc("n"), F.asc("w")).limit(vocab_size)
+    total_row = tok.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("w").alias("types")
+    ).collect()[0]
+    total = int(total_row["total"])
+    types = int(total_row["types"])
+    denom = total + alpha * (types + 1)  # +1: one shared OOV type
+    scored = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        F.log((F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)).alias(
+            "lp"
+        ),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 3).alias("mean_logprob"),
+    )

@@ -147,7 +147,11 @@ def main() -> None:
     qs = em.queries()
     for name in (
         "extract_markup_transcripts",
+        "extract_markup_main_content",
         "extract_pdf_transcripts",
+        "assemble_conversations",
+        "turn_context_windows",
+        "media_image_dhash_grid",
         "dedup_minhash_lsh",
         "dedup_exact",
         "dedup_embedding_lsh",

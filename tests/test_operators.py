@@ -801,3 +801,39 @@ def test_assemble_conversations_single_shuffle(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Sort" not in plan.split("Exchange")[0]  # no post-shuffle global sort
+
+
+def test_url_domain_stats_normalizes_and_counts(spark):
+    from b2xtranslator_spark.operators.textstats import url_domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://WWW.Ex.COM/a and https://ex.com/b"),
+            (1, "also http://sub.ex.com/c plus https://ex.com/d"),
+            (2, "no urls here, just text with a stray https:// fragment"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: r for r in url_domain_stats(docs).collect()}
+    assert out["ex.com"]["n_urls"] == 3  # www. stripped + case folded
+    assert out["ex.com"]["n_docs"] == 2
+    assert out["sub.ex.com"]["n_urls"] == 1
+    assert len(out) == 2  # the bare scheme fragment matches nothing
+
+
+def test_unigram_logprob_oov_floor_and_ranking(spark):
+    import math
+
+    from b2xtranslator_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "common common common common"), (1, "rare1 rare2 rare3 rare4")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_size=1).collect()}
+    # total=8 tokens, types=5, denom = 8 + 1*6 = 14; vocab = {common: 4}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["mean_logprob"] == round(math.log(5 / 14), 3)
+    # every rare token is OOV -> shared add-1 floor
+    assert out[1]["mean_logprob"] == round(math.log(1 / 14), 3)
+    assert out[0]["mean_logprob"] > out[1]["mean_logprob"]
