@@ -91,8 +91,10 @@ def _timed(fn, reps: int = 3) -> float:
 
 
 def _scale_worker(cores: int, big_path: str, warm_path: str) -> None:
-    """One pinned scaling measurement: warm up on the small corpus, measure
-    one run on the large one, emit a JSON line."""
+    """One pinned scaling measurement: warm up on the small corpus, then
+    MEDIAN-OF-3 measured runs on the large one (single-shot stages carried
+    ±20% run-to-run noise that dominated the efficiency ratio), emit a
+    JSON line with the median and the raw samples."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -102,9 +104,18 @@ def _scale_worker(cores: int, big_path: str, warm_path: str) -> None:
 
     s = build_session(app_name=f"b2x-scale-{cores}", master=f"local[{cores}]")
     run_extraction(s.read.parquet(warm_path)).agg(F.count("*")).collect()
-    sec, turns, _docs = _run_extraction(s, big_path)
+    runs = sorted(_run_extraction(s, big_path) for _ in range(3))
+    sec, turns, _docs = runs[1]
     s.stop()
-    print(_json.dumps({"sec": round(sec, 3), "turns_per_sec": round(turns / sec, 1)}))
+    print(
+        _json.dumps(
+            {
+                "sec": round(sec, 3),
+                "turns_per_sec": round(turns / sec, 1),
+                "samples_sec": [round(r[0], 3) for r in runs],
+            }
+        )
+    )
 
 
 def main() -> None:
