@@ -24,6 +24,7 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     SIMHASH_BITS,
     connected_components,
     connected_components_star,
+    duplicate_text_spans,
     paragraph_duplicates,
     dedup_pipeline,
     embedding_near_duplicates,
@@ -35,6 +36,7 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
 )
 from b2xtranslator_spark.operators.conversation import (  # noqa: E402
     assemble_conversations,
+    sessionize_events,
     turn_windows,
 )
 from b2xtranslator_spark.operators.multimodal import (  # noqa: E402
@@ -476,6 +478,36 @@ def _q_media_audio_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("zcr").cast("double"), 6).alias("zcr"),
         "status",
     )
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization over the events table (30-min gap);
+    oracle: identical lag/cumsum windows over unix-microsecond integers."""
+    return sessionize_events(_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 bounded to 8-gram
+    tokens) with a planted cross-document boilerplate sentence so the
+    non-vacuous case is exercised; oracle mirrors the gram hashing,
+    count filter, and islands-and-gaps merge."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    "this disclaimer block repeats verbatim on every "
+                    "third page of the synthetic corpus exactly "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_text_spans(planted, n=8, min_count=2)
 
 
 def _q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dhash_grid": _q_media_image_dhash_grid,
         "url_domain_stats": _q_url_domains,
         "text_unigram_logprob": _q_unigram_logprob,
+        "sessionize_events_batch": _q_sessionize_events,
+        "duplicate_text_spans": _q_duplicate_spans,
         "media_thumbnails_grid": _q_media_thumbnails_grid,
         "media_frame_schedule": _q_media_frame_schedule,
         "assemble_conversations": _q_assemble_conversations,
@@ -1428,6 +1462,88 @@ def oracle_sql() -> dict[str, str]:
                    round((255 // (8 + doc_id % 8)) * 8000.0 / 256.0, 6) AS zcr,
                    'ok' AS status
             FROM documents WHERE doc_id < 200
+        """,
+        # batch sessionization: identical lag/cumsum windows over integer
+        # microseconds (epoch_us), 30-min gap, event_id tiebreak
+        "sessionize_events_batch": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+            ),
+            m AS (
+                SELECT user_id, us, event_id,
+                       CASE WHEN us - lag(us) OVER (
+                                PARTITION BY user_id ORDER BY us, event_id)
+                                > 1800000000
+                            OR lag(us) OVER (
+                                PARTITION BY user_id ORDER BY us, event_id)
+                                IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM e
+            ),
+            s AS (
+                SELECT user_id, us,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM m
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   round((max(us) - min(us)) / 1000000.0, 6) AS duration_s
+            FROM s GROUP BY 1, 2
+        """,
+        # exact-substring duplicate spans: same md5-60bit 8-gram hashes,
+        # >=2 count filter, and islands-and-gaps merge (new island when the
+        # position gap exceeds n)
+        "duplicate_text_spans": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'this disclaimer block repeats verbatim '
+                                 || 'on every third page of the synthetic '
+                                 || 'corpus exactly ' || text
+                            ELSE text END AS text
+                FROM documents WHERE doc_id < 300
+            ),
+            ws AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w FROM d
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, greatest(len(w) - 8, -1)))
+                           AS pos,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(w) - 8, -1)),
+                           i -> CAST(('0x' || substr(md5(
+                                    array_to_string(w[i+1:i+8], ' ')),
+                                    1, 15)) AS BIGINT))) AS h
+                FROM ws
+            ),
+            dup AS (
+                SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+            ),
+            p AS (
+                SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev IS NULL OR pos - prev > 8
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM (
+                    SELECT doc_id, pos,
+                           lag(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos) AS prev
+                    FROM p
+                )
+            )
+            SELECT doc_id, CAST(island AS BIGINT) AS island,
+                   min(pos) AS span_start,
+                   max(pos) + 8 AS span_end,
+                   count(*) AS n_dup_grams
+            FROM isl GROUP BY 1, 2
         """,
         # URL domain stats: the same RE2-safe regex + www-strip + lowercase
         # over identically planted URLs, one hash-agg

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assemble_conversations", "turn_windows"]
+__all__ = ["assemble_conversations", "sessionize_events", "turn_windows"]
 
 
 def assemble_conversations(
@@ -95,4 +95,67 @@ def turn_windows(turns: DataFrame, k: int = 3, role_tags: bool = True) -> DataFr
         "turn_idx",
         F.array_join(F.collect_list(line).over(w), "\n").alias("context"),
         F.count(F.lit(1)).over(w).alias("n_context_turns"),
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-based sessionization (the batch twin of
+    streaming/sessionize.py): a session boundary wherever the gap from the
+    user's previous event exceeds ``gap_seconds``; session index via a
+    running sum of boundary flags. Returns per-session stats.
+
+    One shuffle (window partition on the user); timestamps compared as
+    integer MICROSECONDS (unix_micros) so the boundary arithmetic is
+    exact and portable — epoch-seconds truncation would mis-classify
+    sub-second gaps differently per engine. Ties on ts break by
+    ``id_col`` for total determinism. TIMESTAMP_NTZ inputs are
+    interpreted in the Spark session time zone (build_session pins it to
+    UTC, matching DuckDB's epoch_us treat-as-UTC semantics)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = int(gap_seconds) * 1_000_000
+    flagged = events.select(
+        user_col,
+        us.alias("us"),
+        F.col(id_col).alias("_id"),
+    ).select(
+        user_col,
+        "us",
+        F.when(
+            F.coalesce(
+                F.col("us")
+                - F.lag("us").over(
+                    Window.partitionBy(user_col).orderBy("us", "_id")
+                ),
+                F.lit(gap_us + 1),
+            )
+            > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+        "_id",
+    )
+    w2 = (
+        Window.partitionBy(user_col)
+        .orderBy("us", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        user_col,
+        "us",
+        F.sum("new_session").over(w2).alias("session_idx"),
+    )
+    return sessions.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.round((F.max("us") - F.min("us")) / 1_000_000.0, 6).alias(
+            "duration_s"
+        ),
     )

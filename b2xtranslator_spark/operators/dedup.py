@@ -24,7 +24,7 @@ corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -629,4 +629,72 @@ def dedup_pipeline(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def duplicate_text_spans(
+    documents: DataFrame, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring duplicate SPANS — the token-level dedup signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022), bounded to fixed-``n`` token grams: find every position
+    whose n-gram recurs >= ``min_count`` times across the corpus, then
+    merge overlapping/adjacent positions into maximal per-document spans
+    (the byte ranges a trimming pass would cut).
+
+    Plan: stage the token array (bound column — the unbound-lambda trap),
+    one explode of (pos, gram-hash60) rows, ONE hash-agg for gram counts
+    (map-side partial agg absorbs boilerplate skew), a 1:N equi-join back
+    (build side is the filtered hash set — a hot gram fans out to probe
+    rows, never to pairs), then per-doc islands-and-gaps (window on
+    doc_id: new island when the position gap exceeds n) -> one groupBy for
+    span extents. No all-pairs anywhere; shuffle keys are gram hashes and
+    doc_ids. md5-60bit grams keep the operator oracle-portable."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    # documents shorter than n tokens have no grams; the filter also guards
+    # Spark's sequence(), which DESCENDS when stop < start (sequence(0,-1)
+    # is [0,-1], not empty) and would feed slice() an invalid 0 start
+    staged = (
+        documents.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws)-{n}),"
+                    f" i -> conv(substring(md5(array_join(slice(ws, i+1, {n}), ' ')),"
+                    " 1, 15), 16, 10))"
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", "pos", F.col("h").cast("long").alias("h"))
+    )
+    dup_hashes = (
+        staged.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("h")
+    )
+    dup_pos = staged.join(dup_hashes, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(n + 1)) > n,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
     )

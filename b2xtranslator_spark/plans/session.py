@@ -45,6 +45,10 @@ def build_session(
         # tail-locks on single row-group tasks — 8MB groups keep splits real
         .config("spark.hadoop.parquet.block.size", "8388608")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # pin the session zone: TIMESTAMP_NTZ columns cast to epoch micros
+        # (sessionize_events) must mean treat-as-UTC on every host, not
+        # whatever the box's /etc/localtime says
+        .config("spark.sql.session.timeZone", "UTC")
         # one box cannot run 32 JVM task threads + 32 Python workers + GC on
         # 32 hardware threads: task.cpus=2 halves concurrent tasks so each
         # (JVM thread, Python worker) pair gets a real core. Measured at

@@ -837,3 +837,73 @@ def test_unigram_logprob_oov_floor_and_ranking(spark):
     # every rare token is OOV -> shared add-1 floor
     assert out[1]["mean_logprob"] == round(math.log(1 / 14), 3)
     assert out[0]["mean_logprob"] > out[1]["mean_logprob"]
+
+
+def test_sessionize_events_batch_gap_boundaries(spark):
+    import datetime as dt
+
+    from b2xtranslator_spark.operators.conversation import sessionize_events
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 31-min gap; second session has
+        # a sub-second gap that must NOT split (micros arithmetic)
+        (0, t0, 1),
+        (1, t0 + dt.timedelta(minutes=5), 1),
+        (2, t0 + dt.timedelta(minutes=36), 1),
+        (3, t0 + dt.timedelta(minutes=36, microseconds=500_000), 1),
+        # user 2: exactly-30-min gap is NOT a boundary (> not >=)
+        (4, t0, 2),
+        (5, t0 + dt.timedelta(minutes=30), 2),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize_events(ev, gap_seconds=1800).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 2
+    assert out[(1, 2)]["duration_s"] == 0.5
+    assert (2, 1) in out and out[(2, 1)]["n_events"] == 2
+    assert (2, 2) not in out
+
+
+def test_duplicate_text_spans_merges_islands(spark):
+    from b2xtranslator_spark.operators.dedup import duplicate_text_spans
+
+    boiler = "a b c d e f g h"  # one 8-gram, shared
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} unique tail zero zero2 zero3 zero4 zero5 zero6"),
+            (1, f"{boiler} other tail one xx1 xx2 xx3 xx4 xx5"),
+            (2, "entirely distinct text with no repeats at all here ok"),
+            (3, "short doc"),  # < n tokens: no grams, no crash
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_text_spans(docs, n=8, min_count=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # the shared leading 8-gram appears as one span [0, 8) in docs 0 and 1
+    assert [(r["span_start"], r["span_end"]) for r in by_doc[0]] == [(0, 8)]
+    assert [(r["span_start"], r["span_end"]) for r in by_doc[1]] == [(0, 8)]
+    assert 2 not in by_doc and 3 not in by_doc
+    # overlapping duplicate grams merge into ONE maximal span: extend the
+    # shared prefix to 10 tokens -> 3 duplicate gram positions (0, 1, 2)
+    docs2 = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j t0a t0b t0c"),
+            (1, "a b c d e f g h i j t1a t1b t1c"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = duplicate_text_spans(docs2, n=8, min_count=2).collect()
+    spans0 = [
+        (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in out2
+        if r["doc_id"] == 0
+    ]
+    assert spans0 == [(0, 10, 3)]
