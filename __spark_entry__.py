@@ -25,6 +25,7 @@ from b2xtranslator_spark.operators.dedup import (  # noqa: E402
     connected_components,
     connected_components_star,
     duplicate_text_spans,
+    trim_duplicate_spans,
     paragraph_duplicates,
     dedup_pipeline,
     embedding_near_duplicates,
@@ -486,13 +487,10 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(_table(spark, sf_dir, "events"), gap_seconds=1800)
 
 
-def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplicate spans (Lee et al. 2022 bounded to 8-gram
-    tokens) with a planted cross-document boilerplate sentence so the
-    non-vacuous case is exercised; oracle mirrors the gram hashing,
-    count filter, and islands-and-gaps merge."""
-    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    planted = docs.select(
+def _planted_boiler(docs: DataFrame) -> DataFrame:
+    """Every third document gets a verbatim leading disclaimer — the
+    planted cross-document boilerplate the span-dedup queries detect."""
+    return docs.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -507,7 +505,24 @@ def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return duplicate_text_spans(planted, n=8, min_count=2)
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 bounded to 8-gram
+    tokens) with a planted cross-document boilerplate sentence so the
+    non-vacuous case is exercised; oracle mirrors the gram hashing,
+    count filter, and islands-and-gaps merge."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return duplicate_text_spans(_planted_boiler(docs), n=8, min_count=2)
+
+
+def _q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED exact-substring dedup over the same planted corpus: the
+    corpus-first occurrence of each duplicated 8-gram survives, every
+    other occurrence's token range is cut; oracle rebuilds each trimmed
+    document token-by-token with the same keeper arg-min."""
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return trim_duplicate_spans(_planted_boiler(docs), n=8, min_count=2)
 
 
 def _q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,11 +1049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_unigram_logprob,
         "sessionize_events_batch": _q_sessionize_events,
         "duplicate_text_spans": _q_duplicate_spans,
+        "trim_duplicate_text": _q_trim_spans,
         "assemble_conversations": _q_assemble_conversations,
         "turn_context_windows": _q_turn_windows,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_pipeline": _q_dedup_pipeline,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1078,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    each one's primary form is checked above (asof join, top
         #    tokens, media grid decode twins); all four are green in
         #    CORRECTNESS_LOCAL_r04.txt
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "event_asof_tolerance": _q_event_asof_tolerance,
         "top_tokens_sketch": _q_top_tokens_sketch,
         "media_thumbnails_grid": _q_media_thumbnails_grid,
@@ -1548,6 +1564,58 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 8 AS span_end,
                    count(*) AS n_dup_grams
             FROM isl GROUP BY 1, 2
+        """,
+        # applied exact-substring dedup: same gram hashes, keeper arg-min
+        # (min doc_id*2^20+pos composite), cut-index union per doc, and a
+        # token-by-token rebuild
+        "trim_duplicate_text": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'this disclaimer block repeats verbatim '
+                                 || 'on every third page of the synthetic '
+                                 || 'corpus exactly ' || text
+                            ELSE text END AS text
+                FROM documents WHERE doc_id < 300
+            ),
+            ws AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w FROM d
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, greatest(len(w) - 8, -1)))
+                           AS pos,
+                       unnest(list_transform(
+                           generate_series(0, greatest(len(w) - 8, -1)),
+                           i -> CAST(('0x' || substr(md5(
+                                    array_to_string(w[i+1:i+8], ' ')),
+                                    1, 15)) AS BIGINT))) AS h
+                FROM ws
+            ),
+            dup AS (
+                SELECT h, CAST(min(doc_id * 1048576 + pos) AS BIGINT)
+                           AS keeper
+                FROM g GROUP BY h HAVING count(*) >= 2
+            ),
+            cut AS (
+                SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS i
+                FROM g JOIN dup USING (h)
+                WHERE g.doc_id * 1048576 + g.pos <> dup.keeper
+            ),
+            cs AS (
+                SELECT doc_id, list(DISTINCT i) AS cut_l FROM cut GROUP BY doc_id
+            )
+            SELECT ws.doc_id,
+                   -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+                   -- array_join([]) is '' — the fully-cut-document case
+                   coalesce(array_to_string(list_transform(
+                       list_filter(range(0, len(w)),
+                           i -> NOT list_contains(
+                                    coalesce(cut_l, CAST([] AS BIGINT[])), i)),
+                       i -> w[i + 1]), ' '), '') AS text_trimmed,
+                   coalesce(len(cut_l), 0) AS n_tokens_cut,
+                   len(w) - coalesce(len(cut_l), 0) AS n_tokens_kept
+            FROM ws LEFT JOIN cs USING (doc_id)
         """,
         # URL domain stats: the same RE2-safe regex + www-strip + lowercase
         # over identically planted URLs, one hash-agg

@@ -698,3 +698,79 @@ def duplicate_text_spans(
         (F.max("pos") + F.lit(n)).alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     )
+
+
+def trim_duplicate_spans(
+    documents: DataFrame, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """APPLY the exact-substring dedup (the second half of the Lee et al.
+    2022 recipe): for every duplicated token n-gram keep the corpus-first
+    occurrence (min (doc_id, pos) composite key) and cut every other
+    occurrence's token range; returns each document's trimmed text with
+    cut/kept accounting.
+
+    Plan: same gram-hash explode + ONE hash-agg as duplicate_text_spans
+    (the agg also computes the keeper arg-min as a scalar composite —
+    oracle-portable), a 1:N probe join, then cut indices collect_set per
+    doc and a row-local array rebuild (filter + element_at inside
+    Catalyst, no Python). Composite-key bound: pos < 2^20 per document
+    (enforced loudly, same policy as paragraph_duplicates); doc_id must
+    fit 2^43 — document ids beyond that need a wider key."""
+    pos_limit = 1 << 20
+    ws = F.split(F.lower(F.col("text")), " ")
+    staged = documents.select("doc_id", ws.alias("ws"))
+    grams = (
+        staged.where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws)-{n}),"
+                    f" i -> conv(substring(md5(array_join(slice(ws, i+1, {n}), ' ')),"
+                    " 1, 15), 16, 10))"
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", "pos", F.col("h").cast("long").alias("h"))
+    )
+    grams = grams.where(
+        F.assert_true(
+            F.col("pos") < pos_limit,
+            "trim_duplicate_spans: document with >= 2^20 tokens breaks the "
+            "keeper composite key; split the document or widen the key",
+        ).isNull()
+    )
+    composite = F.col("doc_id") * pos_limit + F.col("pos")
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(composite).alias("keeper"),
+        )
+        .where(F.col("n_occ") >= min_count)
+        .select("h", "keeper")
+    )
+    cut = (
+        grams.join(dup, "h")
+        .where(composite != F.col("keeper"))
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("i"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("cut"))
+    )
+    joined = staged.join(cut, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce(F.col("cut"), F.array().cast("array<int>")).alias("cut"),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("ws") - 1),
+        lambda i: ~F.array_contains(F.col("cut"), i),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("ws"), i + 1)), " "
+        ).alias("text_trimmed"),
+        F.size("cut").alias("n_tokens_cut"),
+        (F.size("ws") - F.size("cut")).alias("n_tokens_kept"),
+    )

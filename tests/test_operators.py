@@ -907,3 +907,34 @@ def test_duplicate_text_spans_merges_islands(spark):
         if r["doc_id"] == 0
     ]
     assert spans0 == [(0, 10, 3)]
+
+
+def test_trim_duplicate_spans_keeps_corpus_first(spark):
+    from b2xtranslator_spark.operators.dedup import trim_duplicate_spans
+
+    boiler = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} zero tail z1 z2 z3 z4 z5 z6"),
+            (1, f"{boiler} one tail o1 o2 o3 o4 o5 o6"),
+            (2, "clean document with completely unique token content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trim_duplicate_spans(docs, n=8).collect()}
+    # doc 0 holds the corpus-first occurrence: untouched
+    assert out[0]["text_trimmed"] == f"{boiler} zero tail z1 z2 z3 z4 z5 z6"
+    assert out[0]["n_tokens_cut"] == 0
+    # doc 1 loses exactly the 8 boilerplate tokens, tail survives
+    assert out[1]["text_trimmed"] == "one tail o1 o2 o3 o4 o5 o6"
+    assert out[1]["n_tokens_cut"] == 8
+    # untouched doc passes through verbatim
+    assert out[2]["n_tokens_cut"] == 0
+    # identical documents: first survives whole, second fully cut
+    twins = spark.createDataFrame(
+        [(0, "p q r s t u v w x y"), (1, "p q r s t u v w x y")],
+        "doc_id long, text string",
+    )
+    t = {r["doc_id"]: r for r in trim_duplicate_spans(twins, n=8).collect()}
+    assert t[0]["n_tokens_cut"] == 0
+    assert t[1]["text_trimmed"] == "" and t[1]["n_tokens_kept"] == 0

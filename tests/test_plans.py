@@ -207,3 +207,38 @@ def test_markup_and_pdf_queries_have_no_premap_shuffle(spark):
         below = plan[map_idx:]
         assert "Exchange" not in below, f"{name}: shuffle below the map\n{below}"
         assert "Join" not in plan, f"{name} must be join-free"
+
+
+def test_sessionize_batch_single_shuffle(spark):
+    """Window on user_id and the per-session groupBy must REUSE one hash
+    partitioning — 1 Exchange total (the co-partitioning argument that
+    makes batch sessionization linear at 10^12 events)."""
+    from b2xtranslator_spark.operators.conversation import sessionize_events
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(sessionize_events(ev))
+    assert plan.count("Exchange") == 1
+
+
+def test_duplicate_spans_no_pair_explosion(spark):
+    """The gram join must be a 1:N probe against the filtered hash set
+    (broadcast at small scale, AQE-SMJ beyond), never a pair-join or a
+    nested loop."""
+    from b2xtranslator_spark.operators.dedup import duplicate_text_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_text_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two real shuffles (gram-count agg, per-doc window) + the hash-set join
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
+
+
+def test_unigram_logprob_vocab_is_broadcast(spark):
+    """Pass 2 joins the corpus against the top-V vocab: the corpus side
+    must never shuffle for the join — vocab is the broadcast side."""
+    from b2xtranslator_spark.operators.textstats import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(unigram_logprob(docs, vocab_size=100))
+    assert "BroadcastHashJoin" in plan
