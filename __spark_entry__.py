@@ -274,6 +274,53 @@ def _q_extract_markup_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF leg with an IDENTITY oracle: a minimal RTF document is
+    synthesized per documents-row (backslash/brace-escaped text, newlines
+    carried as \\par, CR as the \\'0d codepage escape so raw-newline
+    stripping can never rewrite corpus text), b64-carried through the
+    binary payload path and dispatched by the {\\rtf sniff. RTF body text
+    round-trips verbatim, so the expected extraction is the original text
+    sans trailing newlines — any drift in group/control-word/escape
+    handling breaks the value hash."""
+    docs = _table(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("{"),
+            F.lit("\\{"),
+        ),
+        F.lit("}"),
+        F.lit("\\}"),
+    )
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\'0d"))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\par "))
+    rtf = F.concat(
+        F.lit(
+            "{\\rtf1\\ansi\\ansicpg1252\\deff0"
+            "{\\fonttbl{\\f0 Arial;}}{\\info{\\title skip}}\\f0\\fs24 "
+        ),
+        esc,
+        F.lit("\\par }"),
+    )
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("b64cfb:"), F.base64(F.encode(rtf, "UTF-8"))).alias(
+            "tool"
+        ),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg of the north rule, with an IDENTITY oracle: a one-page PDF is
     synthesized per document (escaped text as the content stream's literal
@@ -1042,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markup_transcripts": _q_extract_markup,
         "extract_markup_main_content": _q_extract_markup_main,
         "extract_pdf_transcripts": _q_extract_pdf,
+        "extract_rtf_transcripts": _q_extract_rtf,
         "media_image_features_grid": _q_media_image_grid,
         "media_audio_features_grid": _q_media_audio_grid,
         "media_image_dhash_grid": _q_media_image_dhash_grid,
@@ -1061,7 +1109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_embedding_cosine": _q_embed_neardup,
-        "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
         "dedup_embedding_lsh": _q_embed_neardup_lsh,
         "dedup_embedding_pipeline": _q_embed_dedup_pipeline,
         "similarity_topk_bruteforce": _q_similarity_topk,
@@ -1093,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    each one's primary form is checked above (asof join, top
         #    tokens, media grid decode twins); all four are green in
         #    CORRECTNESS_LOCAL_r04.txt
+        "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "event_asof_tolerance": _q_event_asof_tolerance,
         "top_tokens_sketch": _q_top_tokens_sketch,
@@ -1564,6 +1612,14 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 8 AS span_end,
                    count(*) AS n_dup_grams
             FROM isl GROUP BY 1, 2
+        """,
+        # RTF identity roundtrip: body text survives verbatim (newlines as
+        # \par, CR as \'0d); extractor rstrips trailing newlines
+        "extract_rtf_transcripts": """
+            SELECT doc_id,
+                   rtrim(text, chr(10)) AS extracted,
+                   'ok' AS status
+            FROM documents
         """,
         # applied exact-substring dedup: same gram hashes, keeper arg-min
         # (min doc_id*2^20+pos composite), cut-index union per doc, and a

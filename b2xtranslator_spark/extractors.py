@@ -22,6 +22,7 @@ from .formats import cfb
 from .formats.markup import extract_html_parts, looks_like_markup
 from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
+from .formats.rtf import extract_rtf_parts, looks_like_rtf
 from .formats.word.extract import extract_doc_text_parts, normalize_text
 from .formats.xls import extract_xls_text_parts
 
@@ -81,6 +82,13 @@ def extract_payload_text(
                 extract_urls=extract_urls,
             )
             res.metrics["records_decoded"] = elements
+            res.metrics["spans"] = spans
+        elif force_kind == "rtf" or (
+            force_kind is None and looks_like_rtf(payload)
+        ):
+            res.kind = "rtf"
+            res.text, records, spans = extract_rtf_parts(payload)
+            res.metrics["records_decoded"] = records
             res.metrics["spans"] = spans
         elif payload.startswith(PDF_MAGIC):
             res.kind = "pdf"

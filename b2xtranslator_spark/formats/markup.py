@@ -335,11 +335,16 @@ def extract_html_parts(
     blocks = fold.blocks
     if main_content:
         blocks = [b for b in blocks if b[1] <= link_density_max]
+    # spans TILE the text (first start 0, adjacent spans touch, last end ==
+    # len): the joining newline belongs to the span it terminates — the
+    # same contract the Word leg's part spans follow, asserted end-to-end
+    # in tests/test_pipeline_e2e.py::test_spans_cover_text
     spans: list[tuple[str, int, int]] = []
     start = 0
-    for text, _ratio in blocks:
-        spans.append(("block", start, start + len(text)))
-        start += len(text) + 1  # the joining newline
+    for i, (text, _ratio) in enumerate(blocks):
+        end = start + len(text)
+        spans.append(("block", start, end + (1 if i < len(blocks) - 1 else 0)))
+        start = end + 1
     return "\n".join(b[0] for b in blocks), fold.elements, spans
 
 

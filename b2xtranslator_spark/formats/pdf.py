@@ -793,6 +793,12 @@ def extract_pdf_parts(
             texts.append(t)
             spans.append(("page", start, start + len(t)))
             start += len(t) + 1  # the joining newline
+    # spans TILE the text (pipeline contract, test_spans_cover_text): the
+    # page-joining newline belongs to the span it terminates
+    spans = [
+        (p, s, e + (1 if i < len(spans) - 1 else 0))
+        for i, (p, s, e) in enumerate(spans)
+    ]
     return "\n".join(texts), records, spans
 
 

@@ -85,6 +85,7 @@ def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
         ("synthetic-incremental.ppt", build_ppt_incremental_fixture()),
         ("synthetic.html", build_html_fixture()),
         ("synthetic.pdf", build_pdf_fixture()),
+        ("synthetic.rtf", build_rtf_fixture()),
     ):
         _add(name, payload, normalize_text(expected) or "", False)
     return pd.DataFrame(rows)
@@ -112,6 +113,25 @@ def build_html_fixture() -> tuple[bytes, str]:
         "item two"
     )
     return html, expected
+
+
+def build_rtf_fixture() -> tuple[bytes, str]:
+    """Deterministic RTF document + expected text (the RTF leg of the
+    flagship corpus; dispatched by the {\\rtf sniff)."""
+    rtf = (
+        rb"{\rtf1\ansi\ansicpg1252\deff0"
+        rb"{\fonttbl{\f0\fswiss Arial;}}{\info{\title skip me}}"
+        rb"\f0\fs24 Synthetic RTF fixture with \b bold\b0  text.\par "
+        rb"Euro \'80 and unicode \u9731? plus an escape \{ok\}.\par "
+        rb"left\cell right\cell\row "
+        rb"}"
+    )
+    expected = (
+        "Synthetic RTF fixture with bold text.\n"
+        "Euro € and unicode ☃ plus an escape {ok}.\n"
+        "left\tright\t"
+    )
+    return rtf, expected
 
 
 def build_pdf_fixture() -> tuple[bytes, str]:

@@ -259,7 +259,10 @@ def test_block_spans_slice_the_text():
 
     text, _, spans = extract_html_parts(FULL_PAGE)
     assert [p for p, _, _ in spans] == ["block"] * len(spans)
-    assert [text[s:e] for _, s, e in spans] == text.split("\n")
+    # spans TILE the text (the pipeline contract): the joining newline
+    # belongs to the span it terminates
+    assert "".join(text[s:e] for _, s, e in spans) == text
+    assert [text[s:e].rstrip("\n") for _, s, e in spans] == text.split("\n")
     # pipeline carries them through
     res = extract_payload_text(FULL_PAGE.encode())
     assert res.metrics["spans"] == spans

@@ -486,7 +486,10 @@ def test_page_spans_slice_the_text():
         }
     )
     text, _, spans = extract_pdf_parts(pdf)
-    assert [text[s:e] for _, s, e in spans] == ["page one text", "page two text"]
+    # spans TILE the text (pipeline contract): the page-joining newline
+    # belongs to the span it terminates
+    assert [text[s:e] for _, s, e in spans] == ["page one text\n", "page two text"]
+    assert "".join(text[s:e] for _, s, e in spans) == text
     assert [p for p, _, _ in spans] == ["page", "page"]
     res = extract_payload_text(pdf)
     assert res.metrics["spans"] == spans

@@ -49,13 +49,35 @@ def _row_ok(row) -> bool:
     return bool(expected) and expected in err
 
 
+# pipeline-surface deviations beyond the doc-fixture residue: the reference
+# REJECTS RTF payloads with the CFB magic-number error (its expected.txt for
+# this sample IS that error message); the pipeline's payload sniff extracts
+# the actual RTF text instead — a deliberate capability extension
+# (formats/rtf.py, golden-covered in tests/test_rtf.py). The doc2text CLI
+# surface keeps exact reference parity (no sniff on the Word path;
+# tests/test_doc_fixtures.py still passes this sample as the error).
+PIPELINE_DEVIATIONS = set(KNOWN_DEVIATIONS) | {"sample3-is-an-rtf-file.doc"}
+
+
 def test_per_turn_text_equality(extracted_vs_expected):
     df = extracted_vs_expected
     doc_rows = df[df["sample_name"].notna()]
     assert len(doc_rows) > 0
-    hard = doc_rows[~doc_rows["sample_name"].isin(KNOWN_DEVIATIONS)]
+    hard = doc_rows[~doc_rows["sample_name"].isin(PIPELINE_DEVIATIONS)]
     bad = [r["sample_name"] for _, r in hard.iterrows() if not _row_ok(r)]
     assert not bad, f"{len(bad)} mismatching turns: {sorted(set(bad))[:10]}"
+
+
+def test_rtf_disguised_doc_extracts_instead_of_erroring(extracted_vs_expected):
+    """The capability-extension contract for the deviation above: the RTF
+    sample must extract OK with real text, not surface the reference's
+    magic-number error."""
+    df = extracted_vs_expected
+    rows = df[df["sample_name"] == "sample3-is-an-rtf-file.doc"]
+    if rows.empty:
+        return  # not drawn into this corpus sample
+    assert (rows["status"] == "ok").all()
+    assert rows["text"].str.len().min() > 100
 
 
 def test_no_missing_or_extra_rows(extracted_vs_expected):

@@ -1,0 +1,160 @@
+"""RTF extraction: expected text declared independently of the extractor
+(golden-fixture discipline). The sixth payload format of the pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from b2xtranslator_spark.extractors import extract_payload_text
+from b2xtranslator_spark.formats.rtf import extract_rtf_text, looks_like_rtf
+
+DOC = (
+    rb"{\rtf1\ansi\ansicpg1252\deff0"
+    rb"{\fonttbl{\f0\fswiss Helvetica;}}"
+    rb"{\colortbl ;\red0\green0\blue0;}"
+    rb"{\info{\title SKIP ME}}"
+    rb"\f0\fs24 First paragraph with \b bold\b0  text.\par "
+    rb"Second line\line continued.\par "
+    rb"\trowd\cellx1000\cellx2000 A\cell B\cell\row "
+    rb"}"
+)
+
+DOC_EXPECTED = (
+    "First paragraph with bold text.\n"
+    "Second line\ncontinued.\n"
+    "A\tB\t"
+)
+
+
+def test_basic_document_golden():
+    text, records = extract_rtf_text(DOC)
+    assert text == DOC_EXPECTED
+    assert records > 10
+
+
+def test_escapes_and_specials():
+    text, _ = extract_rtf_text(
+        rb"{\rtf1 braces \{x\} and back\\slash \~ dash\emdash done}"
+    )
+    # \~ is a non-breaking space; \emdash eats its one trailing delimiter
+    assert text == "braces {x} and back\\slash \xa0 dash—done"
+    # \'hh codepage byte (cp1252 euro at 0x80): exactly TWO hex digits,
+    # the rest is literal text
+    text, _ = extract_rtf_text(rb"{\rtf1\ansicpg1252 price \'8042}")
+    assert text == "price €42"
+
+
+def test_unicode_uc_skip_convention():
+    # \uc1: one fallback char after \uN is skipped
+    text, _ = extract_rtf_text(b"{\\rtf1\\uc1 snow \\u9731?man}")
+    assert text == "snow ☃man"
+    # \uc2 skips two; \uc0 skips none
+    text, _ = extract_rtf_text(b"{\\rtf1\\uc2 x\\u233ab y}")
+    assert text == "x\xe9 y"
+    text, _ = extract_rtf_text(rb"{\rtf1\uc0 x\u233y}")
+    assert text == "x\xe9y"
+    # negative \uN wraps at 65536 (spec: signed 16-bit)
+    text, _ = extract_rtf_text(rb"{\rtf1\uc0 a\u-3513b}")
+    assert text == "ab"
+    # \uc is GROUP-scoped: restored after }
+    text, _ = extract_rtf_text(rb"{\rtf1\uc1 {\uc0 \u65x}\u66?y}")
+    assert text == "AxBy"
+
+
+def test_fallback_escape_counts_toward_uc_skip():
+    # the ANSI fallback may itself be an \'hh escape
+    text, _ = extract_rtf_text(rb"{\rtf1\uc1 \u233\'e9z}")
+    assert text == "\xe9z"
+
+
+def test_destinations_dropped_and_shptxt_kept():
+    text, _ = extract_rtf_text(
+        rb"{\rtf1{\*\generator Acme 1.0;}body"
+        rb"{\shp{\*\shpinst\shpleft0{\shptxt boxed text}}} end}"
+    )
+    assert text == "bodyboxed text end"
+    # unknown \* destination is dropped whole
+    text, _ = extract_rtf_text(rb"{\rtf1 a{\*\futuristic stuff}b}")
+    assert text == "ab"
+
+
+def test_field_instruction_skipped_result_kept():
+    text, _ = extract_rtf_text(
+        rb"{\rtf1 see {\field{\*\fldinst HYPERLINK "
+        rb'"http://x.io"}{\fldrslt the site}} ok}'
+    )
+    assert text == "see the site ok"
+
+
+def test_raw_newlines_in_source_are_not_text():
+    text, _ = extract_rtf_text(b"{\\rtf1 one\r\ntwo\nthree}")
+    assert text == "onetwothree"
+
+
+def test_malformed_never_raises():
+    for payload in (
+        b"{\\rtf1 unbalanced {{{",
+        b"{\\rtf1 trailing backslash \\",
+        b"{\\rtf1 \\'zz bad hex}",
+        b"{\\rtf1 \\u99999999 overflow}",
+        b"{\\rtf1" + b"}" * 50,
+        b"{\\rtf1 \\u-40000 lone-surrogate-range}",
+    ):
+        text, _ = extract_rtf_text(payload)
+        assert isinstance(text, str)
+        assert "\ud800" not in text  # Arrow-safe: no lone surrogates
+
+
+def test_sniff_and_dispatch():
+    assert looks_like_rtf(b"{\\rtf1 x}")
+    assert not looks_like_rtf(b"plain {rtf} text")
+    res = extract_payload_text(DOC)
+    assert res.status == "ok"
+    assert res.kind == "rtf"
+    assert res.text == DOC_EXPECTED
+    # spans TILE the text per paragraph (joining newline in the span)
+    spans = res.metrics["spans"]
+    assert "".join(res.text[s:e] for _, s, e in spans) == res.text
+    assert [res.text[s:e].rstrip("\n") for _, s, e in spans] == res.text.split(
+        "\n"
+    )
+
+
+def test_pipeline_rtf_payload_end_to_end(spark):
+    import base64
+    import datetime
+
+    from b2xtranslator_spark.pipeline import PAYLOAD_PREFIX, run_extraction
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "tool",
+         PAYLOAD_PREFIX + base64.b64encode(DOC).decode(), None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = run_extraction(df).collect()[0]
+    assert out["status"] == "ok"
+    assert out["text"] == DOC_EXPECTED
+
+
+def test_hostile_mutation_soak():
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(4242)
+    base = bytearray(DOC * 20)
+    for _ in range(150):
+        mutated = bytearray(base)
+        idx = rng.integers(0, len(mutated), size=int(rng.integers(1, 40)))
+        vals = rng.integers(0, 256, size=len(idx))
+        for i, v in zip(idx, vals):
+            mutated[i] = v
+        t0 = time.perf_counter()
+        res = extract_payload_text(bytes(mutated))
+        assert time.perf_counter() - t0 < 10
+        assert res.status in ("ok", "parse_error", "unsupported", "timeout")
