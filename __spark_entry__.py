@@ -321,6 +321,73 @@ def _q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-Office leg with an IDENTITY oracle: a minimal .docx (real
+    zip + WordprocessingML) is synthesized per documents-row — one w:p
+    per text line, XML-escaped, CR carried as &#13; so the XML parser's
+    line-ending normalization cannot rewrite corpus text — then extracted
+    by the real zip + ElementTree path. Paragraph text round-trips
+    verbatim, so the expected extraction is the original text sans
+    trailing newlines."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def synth(batches):
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        w_ns = (
+            'xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main"'
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "payload_b64": []}
+            for d, txt, src in zip(
+                pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
+            ):
+                paras = "".join(
+                    "<w:p><w:r><w:t xml:space='preserve'>"
+                    + escape(line).replace("\r", "&#13;")
+                    + "</w:t></w:r></w:p>"
+                    for line in (txt or "").split("\n")
+                )
+                doc_xml = (
+                    f'<?xml version="1.0"?><w:document {w_ns}>'
+                    f"<w:body>{paras}</w:body></w:document>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr("[Content_Types].xml", "<Types/>")
+                    zf.writestr("word/document.xml", doc_xml)
+                out["doc_id"].append(int(d))
+                out["source"].append(src)
+                out["payload_b64"].append(
+                    "b64cfb:" + base64.b64encode(buf.getvalue()).decode()
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        synth, schema="doc_id long, source string, payload_b64 string"
+    )
+    transcripts = payloads.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("payload_b64").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg of the north rule, with an IDENTITY oracle: a one-page PDF is
     synthesized per document (escaped text as the content stream's literal
@@ -1090,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markup_main_content": _q_extract_markup_main,
         "extract_pdf_transcripts": _q_extract_pdf,
         "extract_rtf_transcripts": _q_extract_rtf,
+        "extract_docx_transcripts": _q_extract_docx,
         "media_image_features_grid": _q_media_image_grid,
         "media_audio_features_grid": _q_media_audio_grid,
         "media_image_dhash_grid": _q_media_image_dhash_grid,
@@ -1131,7 +1199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "token_histogram": _q_token_histogram,
         "token_length_quantiles": _q_token_quantiles,
-        "docs_by_source": _q_docs_by_source,
         "event_asof_join": _q_event_asof,
         "latest_event_per_user": _q_latest_event_per_user,
         "revenue_by_region": _q_revenue_by_region,
@@ -1140,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    each one's primary form is checked above (asof join, top
         #    tokens, media grid decode twins); all four are green in
         #    CORRECTNESS_LOCAL_r04.txt
+        "docs_by_source": _q_docs_by_source,
         "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "event_asof_tolerance": _q_event_asof_tolerance,
@@ -1612,6 +1680,14 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 8 AS span_end,
                    count(*) AS n_dup_grams
             FROM isl GROUP BY 1, 2
+        """,
+        # DOCX identity roundtrip: one w:p per line, XML-escaped, CR as a
+        # charref; extractor rstrips trailing newlines
+        "extract_docx_transcripts": """
+            SELECT doc_id,
+                   rtrim(text, chr(10)) AS extracted,
+                   'ok' AS status
+            FROM documents
         """,
         # RTF identity roundtrip: body text survives verbatim (newlines as
         # \par, CR as \'0d); extractor rstrips trailing newlines

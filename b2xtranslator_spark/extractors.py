@@ -22,6 +22,13 @@ from .formats import cfb
 from .formats.markup import extract_html_parts, looks_like_markup
 from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
+from .formats.ooxml import (
+    extract_docx_parts,
+    extract_pptx_parts,
+    extract_xlsx_parts,
+    looks_like_ooxml,
+    ooxml_kind,
+)
 from .formats.rtf import extract_rtf_parts, looks_like_rtf
 from .formats.word.extract import extract_doc_text_parts, normalize_text
 from .formats.xls import extract_xls_text_parts
@@ -95,6 +102,23 @@ def extract_payload_text(
             res.text, records, spans = extract_pdf_parts(payload)
             res.metrics["records_decoded"] = records
             res.metrics["spans"] = spans
+        elif looks_like_ooxml(payload):
+            kind = ooxml_kind(payload)
+            if kind == "docx":
+                res.text, records, spans = extract_docx_parts(
+                    payload, extract_urls=extract_urls
+                )
+            elif kind == "xlsx":
+                res.text, records, spans = extract_xlsx_parts(payload)
+            elif kind == "pptx":
+                res.text, records, spans = extract_pptx_parts(payload)
+            else:
+                res.status = "unsupported"
+                res.error = "zip container without a recognized OOXML part"
+            if res.status == "ok":
+                res.kind = kind
+                res.metrics["records_decoded"] = records
+                res.metrics["spans"] = spans
         else:
             storage = cfb.CompoundFile(payload)  # raises the magic-number error
             if storage.has_stream("WordDocument"):

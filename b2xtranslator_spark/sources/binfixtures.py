@@ -423,3 +423,120 @@ def build_ppt_incremental_fixture() -> tuple[bytes, str]:
         [("Current User", current_user), ("PowerPoint Document", stream)]
     )
     return payload, "NEW slide text"
+
+
+# -- OOXML fixtures (modern Office twins for the flagship corpus) --------------
+
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_R_NS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+_S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+_REL_NS = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+
+
+def _zip_members(members: dict) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def build_docx_fixture() -> tuple[bytes, str]:
+    """Deterministic .docx + expected text (paragraphs, tab run, rendered
+    hyperlink, table rows — the docx leg of the flagship corpus)."""
+    body = (
+        "<w:p><w:r><w:t>Synthetic DOCX fixture</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t xml:space='preserve'>Tabbed</w:t></w:r>"
+        "<w:r><w:tab/><w:t>cells follow</w:t></w:r></w:p>"
+        '<w:p><w:r><w:t>Read </w:t></w:r><w:hyperlink r:id="rId9">'
+        "<w:r><w:t>the manual</w:t></w:r></w:hyperlink></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>r1c1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>r1c2</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    )
+    doc = (
+        f'<?xml version="1.0"?><w:document {_W_NS} {_R_NS}>'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {_REL_NS}>'
+        '<Relationship Id="rId9" Target="https://docs.example/m" Type="h"/>'
+        "</Relationships>"
+    )
+    payload = _zip_members(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "word/document.xml": doc,
+            "word/_rels/document.xml.rels": rels,
+        }
+    )
+    expected = (
+        "Synthetic DOCX fixture\n"
+        "Tabbed\tcells follow\n"
+        "Read the manual (https://docs.example/m)\n"
+        "r1c1\tr1c2"
+    )
+    return payload, expected
+
+
+def build_xlsx_fixture() -> tuple[bytes, str]:
+    """Deterministic .xlsx + expected text (shared + inline strings, bool,
+    numbers through the shared formatter)."""
+    wb = (
+        f'<?xml version="1.0"?><workbook {_S_NS} {_R_NS}><sheets>'
+        '<sheet name="Modern" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {_REL_NS}>'
+        '<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {_S_NS}><si><t>shared one</t></si></sst>'
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {_S_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>2.5</v></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>inline two</t></is></c>'
+        '<c r="B2" t="b"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    payload = _zip_members(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/sharedStrings.xml": sst,
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    expected = "Modern\nshared one\t2.5\ninline two\tFALSE"
+    return payload, expected
+
+
+def build_pptx_fixture() -> tuple[bytes, str]:
+    """Deterministic .pptx + expected text (two slides, numeric order)."""
+
+    def slide(*paras: str) -> str:
+        body = "".join(f"<a:p><a:r><a:t>{p}</a:t></a:r></a:p>" for p in paras)
+        return (
+            '<?xml version="1.0"?><p:sld '
+            'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            f"{_A_NS}><p:cSld><p:spTree><p:sp><p:txBody>{body}</p:txBody>"
+            "</p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    payload = _zip_members(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "ppt/presentation.xml": "<p/>",
+            "ppt/slides/slide1.xml": slide("Modern deck title", "with a note"),
+            "ppt/slides/slide2.xml": slide("closing slide"),
+        }
+    )
+    expected = "Modern deck title\nwith a note\nclosing slide"
+    return payload, expected

@@ -50,9 +50,12 @@ def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
     extraction pipeline exercises every format the extractor supports."""
     from ..formats.word.extract import normalize_text
     from .binfixtures import (
+        build_docx_fixture,
         build_ppt_fixture,
         build_ppt_incremental_fixture,
+        build_pptx_fixture,
         build_xls_fixture,
+        build_xlsx_fixture,
     )
 
     rows = []
@@ -86,6 +89,9 @@ def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
         ("synthetic.html", build_html_fixture()),
         ("synthetic.pdf", build_pdf_fixture()),
         ("synthetic.rtf", build_rtf_fixture()),
+        ("synthetic.docx", build_docx_fixture()),
+        ("synthetic.xlsx", build_xlsx_fixture()),
+        ("synthetic.pptx", build_pptx_fixture()),
     ):
         _add(name, payload, normalize_text(expected) or "", False)
     return pd.DataFrame(rows)

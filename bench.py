@@ -160,6 +160,8 @@ def main() -> None:
         "extract_markup_transcripts",
         "extract_markup_main_content",
         "extract_pdf_transcripts",
+        "extract_rtf_transcripts",
+        "extract_docx_transcripts",
         "assemble_conversations",
         "turn_context_windows",
         "media_image_dhash_grid",

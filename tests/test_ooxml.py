@@ -1,0 +1,286 @@
+"""Modern Office (OOXML) extraction: synthesized docx/xlsx/pptx golden
+fixtures with hand-declared expected text — the modern twins of the
+legacy binary legs, same text conventions (cells->tabs, rows/paragraphs->
+newlines, hyperlinks as 'display (url)')."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from b2xtranslator_spark.extractors import extract_payload_text
+from b2xtranslator_spark.formats.ooxml import (
+    extract_docx_parts,
+    extract_pptx_parts,
+    extract_xlsx_parts,
+    looks_like_ooxml,
+    ooxml_kind,
+)
+
+W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+R_NS = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+REL_NS = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+
+
+def _zip(members: dict[str, str | bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def make_docx(body_xml: str, rels_xml: str = "") -> bytes:
+    doc = (
+        f'<?xml version="1.0"?><w:document {W_NS} {R_NS}>'
+        f"<w:body>{body_xml}</w:body></w:document>"
+    )
+    members = {
+        "[Content_Types].xml": "<Types/>",
+        "word/document.xml": doc,
+    }
+    if rels_xml:
+        members["word/_rels/document.xml.rels"] = (
+            f'<?xml version="1.0"?><Relationships {REL_NS}>'
+            f"{rels_xml}</Relationships>"
+        )
+    return _zip(members)
+
+
+DOCX_BODY = (
+    "<w:p><w:r><w:t>Heading text</w:t></w:r></w:p>"
+    "<w:p><w:r><w:t xml:space='preserve'>Body with </w:t></w:r>"
+    "<w:r><w:rPr/><w:t>styled runs</w:t></w:r>"
+    "<w:r><w:tab/><w:t>after tab</w:t></w:r></w:p>"
+    '<w:p><w:r><w:t>See </w:t></w:r><w:hyperlink r:id="rId7">'
+    "<w:r><w:t>the docs</w:t></w:r></w:hyperlink></w:p>"
+    "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>A1</w:t></w:r></w:p></w:tc>"
+    "<w:tc><w:p><w:r><w:t>B1</w:t></w:r></w:p></w:tc></w:tr>"
+    "<w:tr><w:tc><w:p><w:r><w:t>A2</w:t></w:r></w:p></w:tc>"
+    "<w:tc><w:p><w:r><w:t>B2</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    "<w:sdt><w:sdtContent><w:p><w:r><w:t>inside control</w:t></w:r></w:p>"
+    "</w:sdtContent></w:sdt>"
+)
+DOCX_RELS = '<Relationship Id="rId7" Target="https://x.io/d" Type="h"/>'
+DOCX_EXPECTED = (
+    "Heading text\n"
+    "Body with styled runs\tafter tab\n"
+    "See the docs (https://x.io/d)\n"
+    "A1\tB1\n"
+    "A2\tB2\n"
+    "inside control"
+)
+
+
+def test_docx_golden():
+    payload = make_docx(DOCX_BODY, DOCX_RELS)
+    text, elements, spans = extract_docx_parts(payload)
+    assert text == DOCX_EXPECTED
+    assert elements > 3
+    assert "".join(text[s:e] for _, s, e in spans) == text
+
+
+def test_docx_hyperlinks_follow_reference_conventions():
+    # display == url -> bare url; extract_urls=False -> display only
+    body = (
+        '<w:p><w:hyperlink r:id="rId1"><w:r><w:t>https://x.io</w:t></w:r>'
+        "</w:hyperlink></w:p>"
+    )
+    rels = '<Relationship Id="rId1" Target="https://X.io" Type="h"/>'
+    text, _, _ = extract_docx_parts(make_docx(body, rels))
+    assert text == "https://X.io"
+    text, _, _ = extract_docx_parts(
+        make_docx(DOCX_BODY, DOCX_RELS), extract_urls=False
+    )
+    assert "See the docs\n" in text + "\n"
+    # internal anchor renders the reference's \l notation
+    body = (
+        '<w:p><w:hyperlink w:anchor="sec1"><w:r><w:t>jump</w:t></w:r>'
+        "</w:hyperlink></w:p>"
+    )
+    text, _, _ = extract_docx_parts(make_docx(body))
+    assert text == 'jump (\\l "sec1")'
+
+
+def make_xlsx() -> bytes:
+    wb = (
+        f'<?xml version="1.0"?><workbook {S_NS} {R_NS}><sheets>'
+        '<sheet name="Data" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Empty" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {REL_NS}>'
+        '<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/>'
+        '<Relationship Id="rId2" Target="worksheets/sheet2.xml" Type="w"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {S_NS} count="2" uniqueCount="2">'
+        "<si><t>alpha</t></si>"
+        "<si><r><rPr/><t>rich</t></r><r><t xml:space='preserve'> run</t></r></si>"
+        "</sst>"
+    )
+    sheet1 = (
+        f'<?xml version="1.0"?><worksheet {S_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1"><v>3.25</v></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>inline</t></is></c>'
+        '<c r="B2" t="b"><v>1</v></c>'
+        '<c r="C2" t="str"><v>formula result</v></c>'
+        '<c r="D2"><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = f'<?xml version="1.0"?><worksheet {S_NS}><sheetData/></worksheet>'
+    return _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/sharedStrings.xml": sst,
+            "xl/worksheets/sheet1.xml": sheet1,
+            "xl/worksheets/sheet2.xml": sheet2,
+        }
+    )
+
+
+XLSX_EXPECTED = (
+    "Data\n"
+    "alpha\trich run\t3.25\n"
+    "inline\tTRUE\tformula result\t7\n"
+    "Empty"
+)
+
+
+def test_xlsx_golden():
+    text, records, spans = extract_xlsx_parts(make_xlsx())
+    assert text == XLSX_EXPECTED
+    assert records == 7
+    assert "".join(text[s:e] for _, s, e in spans) == text
+
+
+def make_pptx() -> bytes:
+    def slide(*paras: str) -> str:
+        body = "".join(
+            f"<a:p><a:r><a:t>{p}</a:t></a:r></a:p>" for p in paras
+        )
+        return (
+            f'<?xml version="1.0"?><p:sld '
+            f'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            f"{A_NS}><p:cSld><p:spTree><p:sp><p:txBody>{body}</p:txBody>"
+            "</p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    return _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "ppt/presentation.xml": "<p/>",
+            # slide10 before slide2 in the archive: numeric order must win
+            "ppt/slides/slide10.xml": slide("last slide"),
+            "ppt/slides/slide1.xml": slide("Title slide", "subtitle"),
+            "ppt/slides/slide2.xml": slide("second"),
+        }
+    )
+
+
+PPTX_EXPECTED = "Title slide\nsubtitle\nsecond\nlast slide"
+
+
+def test_pptx_golden_numeric_slide_order():
+    text, records, spans = extract_pptx_parts(make_pptx())
+    assert text == PPTX_EXPECTED
+    assert records == 4
+    assert "".join(text[s:e] for _, s, e in spans) == text
+
+
+def test_dispatch_by_marker_part():
+    for payload, kind, expected in (
+        (make_docx(DOCX_BODY, DOCX_RELS), "docx", DOCX_EXPECTED),
+        (make_xlsx(), "xlsx", XLSX_EXPECTED),
+        (make_pptx(), "pptx", PPTX_EXPECTED),
+    ):
+        assert looks_like_ooxml(payload)
+        assert ooxml_kind(payload) == kind
+        res = extract_payload_text(payload)
+        assert res.status == "ok", res.error
+        assert res.kind == kind
+        assert res.text == expected
+        assert res.metrics["spans"]
+
+
+def test_plain_zip_is_unsupported_not_crash():
+    payload = _zip({"readme.txt": "not an office file"})
+    res = extract_payload_text(payload)
+    assert res.status == "unsupported"
+    assert "OOXML" in res.error
+
+
+def test_hostile_zip_and_xml_never_raise():
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(31337)
+    for base in (make_docx(DOCX_BODY, DOCX_RELS), make_xlsx(), make_pptx()):
+        buf = bytearray(base)
+        for _ in range(60):
+            mutated = bytearray(buf)
+            idx = rng.integers(0, len(mutated), size=int(rng.integers(1, 25)))
+            vals = rng.integers(0, 256, size=len(idx))
+            for i, v in zip(idx, vals):
+                mutated[i] = v
+            t0 = time.perf_counter()
+            res = extract_payload_text(bytes(mutated))
+            assert time.perf_counter() - t0 < 10
+            assert res.status in ("ok", "parse_error", "unsupported", "timeout")
+
+
+def test_zip_bomb_member_is_rejected():
+    # a single member that decompresses far beyond the cap must be refused,
+    # not ballooned
+    import b2xtranslator_spark.formats.ooxml as ox
+
+    old = ox._MEMBER_CAP
+    ox._MEMBER_CAP = 1 << 20
+    try:
+        big = _zip(
+            {
+                "[Content_Types].xml": "<Types/>",
+                "word/document.xml": b"\x00" * (4 << 20),
+            }
+        )
+        res = extract_payload_text(big)
+        assert res.status == "parse_error"
+        assert "cap" in (res.error or "")
+    finally:
+        ox._MEMBER_CAP = old
+
+
+def test_pipeline_ooxml_end_to_end(spark):
+    import base64
+    import datetime
+
+    from b2xtranslator_spark.pipeline import PAYLOAD_PREFIX, run_extraction
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", i, "tool",
+         PAYLOAD_PREFIX + base64.b64encode(p).decode(), None, ts)
+        for i, p in enumerate(
+            (make_docx(DOCX_BODY, DOCX_RELS), make_xlsx(), make_pptx())
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r["turn_idx"]: r for r in run_extraction(df).collect()}
+    assert out[0]["text"] == DOCX_EXPECTED
+    assert out[1]["text"] == XLSX_EXPECTED
+    assert out[2]["text"] == PPTX_EXPECTED
