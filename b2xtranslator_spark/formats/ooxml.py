@@ -152,47 +152,77 @@ def extract_docx_parts(
     """(text, elements_decoded, spans). Body paragraphs -> newlines;
     tables: cells tab-joined, rows newline-delimited (the legacy doc-leg
     conventions). Spans tile the text, one ("p", start, end) per line."""
+    lines: list[tuple[str, str]] = []  # (part, line)
+    elements = 0
+
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         rels = _docx_rels(zf)
         data = _read_member(zf, "word/document.xml")
         if not data:
             return "", 0, []
         root = _parse_xml(data)
-    if root is None:
-        return "", 0, []
-    body = root.find(f"{_W}body")
-    if body is None:
-        return "", 0, []
-    lines: list[str] = []
-    elements = 0
+        if root is None:
+            return "", 0, []
+        body = root.find(f"{_W}body")
 
-    def walk_block(container) -> None:
-        nonlocal elements
-        for child in container:
-            elements += 1
-            if elements % 512 == 0:
-                check_deadline()
-            if child.tag == f"{_W}p":
-                lines.append(_docx_paragraph(child, rels, extract_urls))
-            elif child.tag == f"{_W}tbl":
-                for tr in child.findall(f"{_W}tr"):
-                    cells = []
-                    for tc in tr.findall(f"{_W}tc"):
-                        cell_lines: list[str] = []
-                        for cp in tc.findall(f"{_W}p"):
-                            cell_lines.append(
-                                _docx_paragraph(cp, rels, extract_urls)
-                            )
-                        cells.append(" ".join(x for x in cell_lines if x))
-                    lines.append("\t".join(cells))
-            elif child.tag == f"{_W}sdt":  # content control: recurse content
-                content = child.find(f"{_W}sdtContent")
-                if content is not None:
-                    walk_block(content)
+        def walk_block(container, part: str) -> None:
+            nonlocal elements
+            for child in container:
+                elements += 1
+                if elements % 512 == 0:
+                    check_deadline()
+                if child.tag == f"{_W}p":
+                    lines.append(
+                        (part, _docx_paragraph(child, rels, extract_urls))
+                    )
+                elif child.tag == f"{_W}tbl":
+                    for tr in child.findall(f"{_W}tr"):
+                        cells = []
+                        for tc in tr.findall(f"{_W}tc"):
+                            cell_lines: list[str] = []
+                            for cp in tc.findall(f"{_W}p"):
+                                cell_lines.append(
+                                    _docx_paragraph(cp, rels, extract_urls)
+                                )
+                            cells.append(" ".join(x for x in cell_lines if x))
+                        lines.append((part, "\t".join(cells)))
+                elif child.tag == f"{_W}sdt":  # content control: recurse
+                    content = child.find(f"{_W}sdtContent")
+                    if content is not None:
+                        walk_block(content, part)
 
-    walk_block(body)
-    text = "\n".join(lines).rstrip("\n")
-    return text, elements, _tiled_spans(text, "p")
+        if body is not None:
+            walk_block(body, "main")
+        # subdocuments in the legacy doc-leg order (extract.py: main,
+        # footnotes, endnotes, comments); separator notes are machinery
+        for part, member, note_tag in (
+            ("footnotes", "word/footnotes.xml", f"{_W}footnote"),
+            ("endnotes", "word/endnotes.xml", f"{_W}endnote"),
+            ("comments", "word/comments.xml", f"{_W}comment"),
+        ):
+            data = _read_member(zf, member)
+            if not data:
+                continue
+            sub = _parse_xml(data)
+            if sub is None:
+                continue
+            for note in sub.findall(note_tag):
+                if note.get(f"{_W}type") in ("separator", "continuationSeparator"):
+                    continue
+                walk_block(note, part)
+
+    # drop trailing EMPTY lines (doc-leg convention) without losing part
+    # labels for the rest
+    while lines and lines[-1][1] == "":
+        lines.pop()
+    text = "\n".join(line for _, line in lines)
+    spans: list[tuple[str, int, int]] = []
+    start = 0
+    for i, (part, line) in enumerate(lines):
+        end = start + len(line)
+        spans.append((part, start, end + (1 if i < len(lines) - 1 else 0)))
+        start = end + 1
+    return text, elements, spans
 
 
 # -- xlsx ---------------------------------------------------------------------

@@ -284,3 +284,43 @@ def test_pipeline_ooxml_end_to_end(spark):
     assert out[0]["text"] == DOCX_EXPECTED
     assert out[1]["text"] == XLSX_EXPECTED
     assert out[2]["text"] == PPTX_EXPECTED
+
+
+def test_docx_footnotes_endnotes_comments_follow_body():
+    """Subdocuments append in the legacy doc-leg order (main, footnotes,
+    endnotes, comments); separator notes are machinery, not text."""
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    fn = (
+        f'<?xml version="1.0"?><w:footnotes xmlns:w="{W}">'
+        '<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>SEP</w:t>'
+        "</w:r></w:p></w:footnote>"
+        '<w:footnote w:id="1"><w:p><w:r><w:t>a footnote</w:t></w:r></w:p>'
+        "</w:footnote></w:footnotes>"
+    )
+    en = (
+        f'<?xml version="1.0"?><w:endnotes xmlns:w="{W}">'
+        '<w:endnote w:id="1"><w:p><w:r><w:t>an endnote</w:t></w:r></w:p>'
+        "</w:endnote></w:endnotes>"
+    )
+    cm = (
+        f'<?xml version="1.0"?><w:comments xmlns:w="{W}">'
+        '<w:comment w:id="0"><w:p><w:r><w:t>a comment</w:t></w:r></w:p>'
+        "</w:comment></w:comments>"
+    )
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+        "<w:p><w:r><w:t>body text</w:t></w:r></w:p></w:body></w:document>"
+    )
+    payload = _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "word/document.xml": doc,
+            "word/footnotes.xml": fn,
+            "word/endnotes.xml": en,
+            "word/comments.xml": cm,
+        }
+    )
+    text, _, spans = extract_docx_parts(payload)
+    assert text == "body text\na footnote\nan endnote\na comment"
+    assert [p for p, _, _ in spans] == ["main", "footnotes", "endnotes", "comments"]
+    assert "SEP" not in text
