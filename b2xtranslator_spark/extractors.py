@@ -94,7 +94,9 @@ def extract_payload_text(
             force_kind is None and looks_like_rtf(payload)
         ):
             res.kind = "rtf"
-            res.text, records, spans = extract_rtf_parts(payload)
+            res.text, records, spans = extract_rtf_parts(
+                payload, extract_urls=extract_urls
+            )
             res.metrics["records_decoded"] = records
             res.metrics["spans"] = spans
         elif payload.startswith(PDF_MAGIC):

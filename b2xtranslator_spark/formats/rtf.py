@@ -116,7 +116,28 @@ def _codepage_codec(cp: int) -> str:
         return "cp1252"
 
 
-def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
+def _render_field(frame: dict, extract_urls: bool, sink: list[str]) -> None:
+    """Emit a closed {\field ...} group: HYPERLINK instructions render as
+    ``display (url)`` exactly like the Word leg's fields (writer.py
+    _output_hyperlink / TextWriter.cs:354-440); any other field keeps its
+    result text verbatim."""
+    from .word.writer import _extract_hyperlink_url
+
+    display = "".join(frame["res"])
+    url = _extract_hyperlink_url("".join(frame["inst"]))
+    if extract_urls and url:
+        d = display.strip()
+        if d and d.lower() != url.lower():
+            sink.append(f"{d} ({url})")
+        else:
+            sink.append(url)
+    else:
+        sink.append(display)
+
+
+def extract_rtf_parts(
+    payload: bytes, extract_urls: bool = True
+) -> tuple[str, int, list[tuple[str, int, int]]]:
     """Extract plain text from an RTF payload.
 
     Returns (text, control_words_decoded, spans) with one ("par", start,
@@ -129,18 +150,20 @@ def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
     out: list[str] = []
     codec = "cp1252"
     uc_skip = 1
-    skip_depth = 0  # > 0 while inside a dropped destination group
     pending_skip = 0  # chars to skip after \uN (the ANSI fallback)
-    # group state stack: (uc_skip, skipping?)
-    stack: list[tuple[int, bool]] = []
+    # group state stack: (uc_skip, skipping?, sink)
+    stack: list[tuple[int, bool, list[str]]] = []
     skipping = False
+    sink: list[str] = out  # where decoded text lands (field capture swaps it)
+    # open \field frames: {"depth": group depth, "inst": [...], "res": [...]}
+    fields: list[dict] = []
     records = 0
     pending_byte_run = bytearray()  # consecutive \'hh bytes decode as one run
 
     def flush_bytes() -> None:
         nonlocal pending_byte_run
         if pending_byte_run:
-            out.append(pending_byte_run.decode(codec, "replace"))
+            sink.append(pending_byte_run.decode(codec, "replace"))
             pending_byte_run = bytearray()
 
     while pos < n:
@@ -149,13 +172,16 @@ def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
         c = buf[pos]
         if c == 0x7B:  # {
             flush_bytes()
-            stack.append((uc_skip, skipping))
+            stack.append((uc_skip, skipping, sink))
             pos += 1
             continue
         if c == 0x7D:  # }
             flush_bytes()
+            closing_field = bool(fields) and len(stack) == fields[-1]["depth"]
             if stack:
-                uc_skip, skipping = stack.pop()
+                uc_skip, skipping, sink = stack.pop()
+            if closing_field:
+                _render_field(fields.pop(), extract_urls, sink)
             pos += 1
             continue
         if c != 0x5C:  # plain text byte
@@ -208,7 +234,7 @@ def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
             sym = _CTRL_SYMBOLS.get(e)
             if sym:
                 flush_bytes()
-                out.append(sym)
+                sink.append(sym)
             continue
         # control word: letters then optional signed number
         start = pos
@@ -229,6 +255,21 @@ def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
         if pos < n and buf[pos] == 0x20:  # one trailing space is eaten
             pos += 1
         # ---- dispatch -------------------------------------------------
+        if word == "field":
+            fields.append({"depth": len(stack), "inst": [], "res": []})
+            continue
+        if word == "fldinst" and fields:
+            # capture the field instruction instead of dropping it: the
+            # HYPERLINK url renders like the doc/html legs
+            flush_bytes()
+            sink = fields[-1]["inst"]
+            skipping = False
+            continue
+        if word == "fldrslt" and fields:
+            flush_bytes()
+            sink = fields[-1]["res"]
+            skipping = False
+            continue
         if word in _SKIP_DESTS:
             flush_bytes()
             skipping = True
@@ -260,7 +301,7 @@ def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
                 pending_skip -= 1
                 continue
             flush_bytes()
-            out.append(_SPECIAL_WORDS[word])
+            sink.append(_SPECIAL_WORDS[word])
             continue
         if skipping and word == "shptxt":
             # the one content-bearing subgroup of a skipped destination:
@@ -290,6 +331,8 @@ def extract_rtf_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
     return text, records, spans
 
 
-def extract_rtf_text(payload: bytes) -> tuple[str, int]:
-    text, records, _ = extract_rtf_parts(payload)
+def extract_rtf_text(
+    payload: bytes, extract_urls: bool = True
+) -> tuple[str, int]:
+    text, records, _ = extract_rtf_parts(payload, extract_urls)
     return text, records

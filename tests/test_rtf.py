@@ -78,12 +78,34 @@ def test_destinations_dropped_and_shptxt_kept():
     assert text == "ab"
 
 
-def test_field_instruction_skipped_result_kept():
-    text, _ = extract_rtf_text(
+def test_hyperlink_field_renders_display_and_url():
+    """HYPERLINK fields render 'display (url)' exactly like the doc/html
+    legs (writer._output_hyperlink); other fields keep their result."""
+    src = (
         rb"{\rtf1 see {\field{\*\fldinst HYPERLINK "
         rb'"http://x.io"}{\fldrslt the site}} ok}'
     )
+    text, _ = extract_rtf_text(src)
+    assert text == "see the site (http://x.io) ok"
+    # extract_urls=False: display only (the previous behavior)
+    text, _ = extract_rtf_text(src, extract_urls=False)
     assert text == "see the site ok"
+    # display == url -> bare url
+    text, _ = extract_rtf_text(
+        rb"{\rtf1 {\field{\*\fldinst HYPERLINK "
+        rb'"http://x.io"}{\fldrslt HTTP://x.io}}}'
+    )
+    assert text == "http://x.io"
+    # empty result -> bare url
+    text, _ = extract_rtf_text(
+        rb'{\rtf1 go {\field{\*\fldinst HYPERLINK "http://y.io"}{\fldrslt }}}'
+    )
+    assert text == "go http://y.io"
+    # a non-HYPERLINK field keeps its result text verbatim
+    text, _ = extract_rtf_text(
+        rb"{\rtf1 page {\field{\*\fldinst PAGE}{\fldrslt 7}} of 9}"
+    )
+    assert text == "page 7 of 9"
 
 
 def test_raw_newlines_in_source_are_not_text():
