@@ -339,21 +339,27 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
 # -- pptx ---------------------------------------------------------------------
 
 _SLIDE_RE = re.compile(r"^ppt/slides/slide([0-9]+)\.xml$")
+_NOTES_RE = re.compile(r"^ppt/notesSlides/notesSlide([0-9]+)\.xml$")
 
 
 def extract_pptx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
-    """(text, runs_decoded, spans). Slides in numeric order; each a:p
-    paragraph is a line (a:t runs concatenated, a:br -> newline)."""
+    """(text, runs_decoded, spans). Slides in numeric order, then notes
+    slides (the legacy PPT leg extracts notes text too,
+    PowerpointDocument.cs:398-412); each a:p paragraph is a line (a:t
+    runs concatenated, a:br -> newline)."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         slides = []
         for name in zf.namelist():
             m = _SLIDE_RE.match(name)
             if m:
-                slides.append((int(m.group(1)), name))
+                slides.append((0, int(m.group(1)), name))
+            m = _NOTES_RE.match(name)
+            if m:
+                slides.append((1, int(m.group(1)), name))
         slides.sort()
         lines: list[str] = []
         records = 0
-        for _, name in slides:
+        for _, _, name in slides:
             check_deadline()
             data = _read_member(zf, name)
             if not data:

@@ -324,3 +324,27 @@ def test_docx_footnotes_endnotes_comments_follow_body():
     assert text == "body text\na footnote\nan endnote\na comment"
     assert [p for p, _, _ in spans] == ["main", "footnotes", "endnotes", "comments"]
     assert "SEP" not in text
+
+
+def test_pptx_notes_slides_follow_slides():
+    P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+    def part(text):
+        return (
+            f'<?xml version="1.0"?><p:sld xmlns:p="{P}" xmlns:a="{A}">'
+            f"<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r><a:t>{text}"
+            "</a:t></a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    payload = _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "ppt/presentation.xml": "<p/>",
+            "ppt/slides/slide1.xml": part("slide one"),
+            "ppt/notesSlides/notesSlide1.xml": part("speaker note"),
+            "ppt/slides/slide2.xml": part("slide two"),
+        }
+    )
+    text, _, _ = extract_pptx_parts(payload)
+    assert text == "slide one\nslide two\nspeaker note"
