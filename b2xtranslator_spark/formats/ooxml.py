@@ -128,7 +128,19 @@ def _docx_paragraph(p, rels: dict[str, str], extract_urls: bool) -> str:
         return "".join(buf)
 
     for child in p:
-        if child.tag == f"{_W}hyperlink":
+        if child.tag == f"{_W}fldSimple":
+            from .word.writer import _extract_hyperlink_url
+
+            display = run_text(child)
+            url = _extract_hyperlink_url(child.get(f"{_W}instr") or "")
+            if extract_urls and url:
+                if display and display.lower() != url.lower():
+                    out.append(f"{display} ({url})")
+                else:
+                    out.append(url)
+            else:
+                out.append(display)
+        elif child.tag == f"{_W}hyperlink":
             display = run_text(child)
             url = rels.get(child.get(f"{_R}id") or "")
             anchor = child.get(f"{_W}anchor")
@@ -273,7 +285,8 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
                 for rel in rels_root.iter(f"{_REL}Relationship"):
                     rid, target = rel.get("Id"), rel.get("Target")
                     if rid and target:
-                        rels[rid] = target if target.startswith("xl/") else f"xl/{target}"
+                        t = target.lstrip("/")
+                        rels[rid] = t if t.startswith("xl/") else f"xl/{t}"
         sst = _shared_strings(zf)
         lines: list[str] = []
         records = 0

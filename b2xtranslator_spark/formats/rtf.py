@@ -255,8 +255,14 @@ def extract_rtf_parts(
         if pos < n and buf[pos] == 0x20:  # one trailing space is eaten
             pos += 1
         # ---- dispatch -------------------------------------------------
+        if word == "bin":
+            # \binN: the next N bytes are raw binary, not RTF syntax — a
+            # raw brace byte inside them would derail group tracking
+            pos += max(0, param or 0)
+            continue
         if word == "field":
-            fields.append({"depth": len(stack), "inst": [], "res": []})
+            if not skipping:
+                fields.append({"depth": len(stack), "inst": [], "res": []})
             continue
         if word == "fldinst" and fields:
             # capture the field instruction instead of dropping it: the

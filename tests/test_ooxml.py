@@ -348,3 +348,47 @@ def test_pptx_notes_slides_follow_slides():
     )
     text, _, _ = extract_pptx_parts(payload)
     assert text == "slide one\nslide two\nspeaker note"
+
+
+def test_docx_fldsimple_hyperlink_renders():
+    body = (
+        '<w:p><w:r><w:t>go </w:t></w:r><w:fldSimple '
+        'w:instr=\' HYPERLINK "https://f.io" \'>'
+        "<w:r><w:t>field link</w:t></w:r></w:fldSimple></w:p>"
+    )
+    text, _, _ = extract_docx_parts(make_docx(body))
+    assert text == "go field link (https://f.io)"
+    # non-hyperlink simple field keeps its cached display
+    body = (
+        "<w:p><w:fldSimple w:instr=' PAGE '>"
+        "<w:r><w:t>7</w:t></w:r></w:fldSimple></w:p>"
+    )
+    text, _, _ = extract_docx_parts(make_docx(body))
+    assert text == "7"
+
+
+def test_xlsx_absolute_rel_target_resolves():
+    wb = (
+        f'<?xml version="1.0"?><workbook {S_NS} {R_NS}><sheets>'
+        '<sheet name="Abs" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {REL_NS}>'
+        '<Relationship Id="rId1" Target="/xl/worksheets/sheet1.xml" Type="w"/>'
+        "</Relationships>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {S_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>abs ok</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    payload = _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    text, _, _ = extract_xlsx_parts(payload)
+    assert text == "Abs\nabs ok"

@@ -180,3 +180,26 @@ def test_hostile_mutation_soak():
         res = extract_payload_text(bytes(mutated))
         assert time.perf_counter() - t0 < 10
         assert res.status in ("ok", "parse_error", "unsupported", "timeout")
+
+
+def test_bin_raw_bytes_are_skipped():
+    """\\binN raw bytes are not RTF syntax: embedded brace bytes must not
+    derail group tracking or leak into the text."""
+    # the 5 raw bytes "01}23" contain a brace that is DATA, not a group
+    # close; the real close follows the binary run
+    src = b"{\\rtf1 before{\\pict\\bin5 01}23} after}"
+    text, _ = extract_rtf_text(src)
+    assert text == "before after"
+    # without the \bin skip, the embedded '}' would have closed \pict
+    # early and leaked "23" as text
+    assert "23" not in text
+
+
+def test_hyperlink_inside_skipped_destination_does_not_leak():
+    src = (
+        rb"{\rtf1 body {\header head {\field{\*\fldinst HYPERLINK "
+        rb'"http://h.io"}{\fldrslt hidden}}} tail}'
+    )
+    text, _ = extract_rtf_text(src)
+    assert text == "body  tail"
+    assert "hidden" not in text and "h.io" not in text
