@@ -309,10 +309,17 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
             sdata = sroot.find(f"{_S}sheetData")
             for row in (sdata if sdata is not None else []):
                 cols: dict[int, str] = {}
+                # cells may omit r= (writers emit them in order): implicit
+                # position = previous cell's column + 1, else col-0 cells
+                # would silently overwrite each other
+                next_col = 0
                 for c in row.findall(f"{_S}c"):
                     records += 1
                     if records % 1024 == 0:
                         check_deadline()
+                    ref = c.get("r")
+                    col = _col_index(ref) if ref else next_col
+                    next_col = col + 1
                     ctype = c.get("t") or "n"
                     val = None
                     if ctype == "inlineStr":
@@ -340,7 +347,7 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
                             except ValueError:
                                 val = v.text
                     if val is not None:
-                        cols[_col_index(c.get("r") or "")] = val
+                        cols[col] = val
                 if cols:
                     lines.append(
                         "\t".join(cols[k] for k in sorted(cols))

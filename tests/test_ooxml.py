@@ -392,3 +392,47 @@ def test_xlsx_absolute_rel_target_resolves():
     )
     text, _, _ = extract_xlsx_parts(payload)
     assert text == "Abs\nabs ok"
+
+
+def test_xlsx_cells_without_refs_keep_order():
+    """Cells omitting r= take implicit sequential positions — they must
+    not all collide at column 0."""
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {S_NS}><sheetData>'
+        '<row><c t="inlineStr"><is><t>first</t></is></c>'
+        '<c t="inlineStr"><is><t>second</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>jumped</t></is></c>'
+        '<c t="inlineStr"><is><t>after</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {S_NS} {R_NS}><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {REL_NS}>'
+        '<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/>'
+        "</Relationships>"
+    )
+    payload = _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+    text, _, _ = extract_xlsx_parts(payload)
+    assert text == "S\nfirst\tsecond\tjumped\tafter"
+
+
+def test_docx_tracked_deletions_are_filtered():
+    """w:delText (tracked deletions) is not w:t — deleted runs stay out of
+    the extraction, matching the legacy leg's deleted-run filter (P7)."""
+    body = (
+        "<w:p><w:r><w:t>kept </w:t></w:r>"
+        '<w:del><w:r><w:delText>gone</w:delText></w:r></w:del>'
+        "<w:r><w:t>also kept</w:t></w:r></w:p>"
+    )
+    text, _, _ = extract_docx_parts(make_docx(body))
+    assert text == "kept also kept"
