@@ -242,3 +242,20 @@ def test_unigram_logprob_vocab_is_broadcast(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(unigram_logprob(docs, vocab_size=100))
     assert "BroadcastHashJoin" in plan
+
+
+def test_new_extraction_legs_have_zero_shuffle(spark):
+    """The rtf/docx oracle queries chain payload synthesis and extraction
+    as pure maps: scan -> (synthesize) -> mapInPandas, no Exchange before
+    the write — the same black-box-map shape as the flagship."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod2", Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    for name in ("extract_rtf_transcripts", "extract_docx_transcripts"):
+        plan = _plan(em.queries()[name](spark, SF_DIR))
+        assert plan.count("Exchange") == 0, name
