@@ -306,6 +306,28 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
                 continue
             if name:
                 lines.append(name)
+            # sheet-level hyperlinks: ref -> url via the SHEET's own rels
+            # (xl/worksheets/_rels/sheetN.xml.rels); rendered on the cell
+            # like every other leg's hyperlinks
+            cell_links: dict[str, str] = {}
+            hl = sroot.find(f"{_S}hyperlinks")
+            if hl is not None:
+                base, fname = part.rsplit("/", 1)
+                srels_data = _read_member(zf, f"{base}/_rels/{fname}.rels")
+                srels: dict[str, str] = {}
+                if srels_data:
+                    sr_root = _parse_xml(srels_data)
+                    if sr_root is not None:
+                        for rel in sr_root.iter(f"{_REL}Relationship"):
+                            if rel.get("Id") and rel.get("Target"):
+                                srels[rel.get("Id")] = rel.get("Target")
+                for link in hl.findall(f"{_S}hyperlink"):
+                    ref = link.get("ref")
+                    url = srels.get(link.get(f"{_R}id") or "")
+                    if url is None and link.get("location"):
+                        url = '\\l "' + link.get("location") + '"'
+                    if ref and url:
+                        cell_links[ref] = url
             sdata = sroot.find(f"{_S}sheetData")
             for row in (sdata if sdata is not None else []):
                 cols: dict[int, str] = {}
@@ -347,6 +369,12 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
                             except ValueError:
                                 val = v.text
                     if val is not None:
+                        url = cell_links.get(ref or "")
+                        if url:
+                            if val and val.lower() != url.lower():
+                                val = f"{val} ({url})"
+                            else:
+                                val = url
                         cols[col] = val
                 if cols:
                     lines.append(

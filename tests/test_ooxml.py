@@ -436,3 +436,39 @@ def test_docx_tracked_deletions_are_filtered():
     )
     text, _, _ = extract_docx_parts(make_docx(body))
     assert text == "kept also kept"
+
+
+def test_xlsx_hyperlinks_render_on_cells():
+    wb = (
+        f'<?xml version="1.0"?><workbook {S_NS} {R_NS}><sheets>'
+        '<sheet name="L" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wrels = (
+        f'<?xml version="1.0"?><Relationships {REL_NS}>'
+        '<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/>'
+        "</Relationships>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {S_NS} {R_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>the site</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>plain</t></is></c></row>'
+        "</sheetData>"
+        '<hyperlinks><hyperlink ref="A1" r:id="rId5"/></hyperlinks>'
+        "</worksheet>"
+    )
+    srels = (
+        f'<?xml version="1.0"?><Relationships {REL_NS}>'
+        '<Relationship Id="rId5" Target="https://s.io/x" Type="h"/>'
+        "</Relationships>"
+    )
+    payload = _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": wrels,
+            "xl/worksheets/sheet1.xml": sheet,
+            "xl/worksheets/_rels/sheet1.xml.rels": srels,
+        }
+    )
+    text, _, _ = extract_xlsx_parts(payload)
+    assert text == "L\nthe site (https://s.io/x)\tplain"
