@@ -472,3 +472,14 @@ def test_xlsx_hyperlinks_render_on_cells():
     )
     text, _, _ = extract_xlsx_parts(payload)
     assert text == "L\nthe site (https://s.io/x)\tplain"
+
+
+def test_docx_tracked_insertions_are_included():
+    """w:ins wraps accepted-view content: tracked insertions surface in
+    the extraction (the complement of the w:delText filter)."""
+    body = (
+        "<w:p><w:r><w:t>base </w:t></w:r>"
+        "<w:ins><w:r><w:t>added</w:t></w:r></w:ins></w:p>"
+    )
+    text, _, _ = extract_docx_parts(make_docx(body))
+    assert text == "base added"

@@ -203,3 +203,13 @@ def test_hyperlink_inside_skipped_destination_does_not_leak():
     text, _ = extract_rtf_text(src)
     assert text == "body  tail"
     assert "hidden" not in text and "h.io" not in text
+
+
+def test_upr_unicode_ansi_pair_emits_exactly_one_version():
+    """{\\upr{ansi}{\\*\\ud{unicode}}} carries the same text twice; exactly
+    ONE version may surface (we keep the ANSI body, drop the \\ud twin —
+    never both, which would duplicate corpus text)."""
+    src = rb"{\rtf1 a {\upr{plain version}{\*\ud{\uc0 unicode version}}} b}"
+    text, _ = extract_rtf_text(src)
+    assert text.count("version") == 1
+    assert text == "a plain version b"
