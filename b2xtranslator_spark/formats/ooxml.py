@@ -46,6 +46,7 @@ _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
 
 # per-member decompressed cap: no single XML part of a real document
 # approaches this; a zip bomb does
@@ -117,14 +118,25 @@ def _docx_paragraph(p, rels: dict[str, str], extract_urls: bool) -> str:
 
     def run_text(container) -> str:
         buf: list[str] = []
-        for node in container.iter():
-            tag = node.tag
-            if tag == f"{_W}t":
-                buf.append(node.text or "")
-            elif tag == f"{_W}tab":
-                buf.append("\t")
-            elif tag in (f"{_W}br", f"{_W}cr"):
-                buf.append("\n")
+
+        def walk(node) -> None:
+            for child in node:
+                tag = child.tag
+                if tag == f"{_MC}Fallback":
+                    # mc:AlternateContent carries the same drawing/textbox
+                    # in mc:Choice AND mc:Fallback — emitting both would
+                    # duplicate the text; keep the Choice leg only
+                    continue
+                if tag == f"{_W}t":
+                    buf.append(child.text or "")
+                elif tag == f"{_W}tab":
+                    buf.append("\t")
+                elif tag in (f"{_W}br", f"{_W}cr"):
+                    buf.append("\n")
+                else:
+                    walk(child)
+
+        walk(container)
         return "".join(buf)
 
     for child in p:
@@ -259,11 +271,22 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     root = _parse_xml(data)
     if root is None:
         return []
-    out = []
-    for si in root.findall(f"{_S}si"):
-        # plain or rich-run strings: concatenate every t descendant
-        out.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
-    return out
+    return [_si_text(si) for si in root.findall(f"{_S}si")]
+
+
+def _si_text(el) -> str:
+    """si/is string content: direct <t> plus rich-run <r><t> in document
+    order. Phonetic <rPh> runs (furigana) and <phoneticPr> are skipped —
+    collecting every t descendant would emit the base text AND its
+    reading, duplicating the cell."""
+    buf: list[str] = []
+    for child in el:
+        if child.tag == f"{_S}t":
+            buf.append(child.text or "")
+        elif child.tag == f"{_S}r":
+            for t in child.findall(f"{_S}t"):
+                buf.append(t.text or "")
+    return "".join(buf)
 
 
 def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
@@ -347,9 +370,7 @@ def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
                     if ctype == "inlineStr":
                         is_el = c.find(f"{_S}is")
                         if is_el is not None:
-                            val = "".join(
-                                t.text or "" for t in is_el.iter(f"{_S}t")
-                            )
+                            val = _si_text(is_el)
                     else:
                         v = c.find(f"{_S}v")
                         if v is None or v.text is None:

@@ -353,7 +353,13 @@ class _Document:
             data = None
             pos = _skip_ws(self.buf, pos)
             if self.buf.startswith(b"stream", pos):
-                data, consumed_until = self._read_stream(val, pos)
+                data, stream_end, bounded = self._read_stream(val, pos)
+                if bounded:
+                    consumed_until = stream_end
+                # a corrupt stream with no endstream would otherwise mark
+                # the REST of the file as stream interior and silently
+                # drop every later definition (incremental-update bodies
+                # included) — leave the window unchanged and keep scanning
             # later definition wins (incremental update, last-edit-wins)
             self.objects[num] = (val, data)
         self._expand_object_streams()
@@ -410,9 +416,11 @@ class _Document:
                 obj, _ = _parse_value(payload, first + off)
                 self.objects[objnum] = (obj, None)
 
-    def _read_stream(self, sdict, pos: int) -> tuple[bytes, int]:
-        """Returns (payload bytes, end offset of the payload in self.buf) —
-        the end offset bounds the scan's stream-interior skip window."""
+    def _read_stream(self, sdict, pos: int) -> tuple[bytes, int, bool]:
+        """Returns (payload bytes, end offset of the payload in self.buf,
+        bounded?) — the end offset bounds the scan's stream-interior skip
+        window, but only when a real ``endstream`` bounded it (bounded
+        False = fallback scan ran off the end of the buffer)."""
         pos += len(b"stream")
         if self.buf.startswith(b"\r\n", pos):
             pos += 2
@@ -427,10 +435,12 @@ class _Document:
             cand = pos + length
             if self.buf[cand : cand + 32].lstrip(_WS).startswith(b"endstream"):
                 end = cand
+        bounded = True
         if end is None:  # declared length missing/indirectly wrong: search
             e = self.buf.find(b"endstream", pos)
+            bounded = e >= 0
             end = e if e >= 0 else len(self.buf)
-        return self.buf[pos:end], end
+        return self.buf[pos:end], end, bounded
 
     def resolve(self, obj, _depth: int = 0):
         while isinstance(obj, _Ref) and _depth < 32:

@@ -158,6 +158,7 @@ def extract_rtf_parts(
     # open \field frames: {"depth": group depth, "inst": [...], "res": [...]}
     fields: list[dict] = []
     records = 0
+    next_deadline_check = 0  # byte-progress gate: fires every 64 KiB of pos
     pending_byte_run = bytearray()  # consecutive \'hh bytes decode as one run
 
     def flush_bytes() -> None:
@@ -167,8 +168,13 @@ def extract_rtf_parts(
             pending_byte_run = bytearray()
 
     while pos < n:
-        if records % 2048 == 0:
+        # gate on byte progress, not control-word count: a text-heavy
+        # payload advances pos without advancing records, and pos strictly
+        # increases every iteration, so this fires ~every 64 KiB regardless
+        # of the control-word/text mix
+        if pos >= next_deadline_check:
             check_deadline()
+            next_deadline_check = pos + 65536
         c = buf[pos]
         if c == 0x7B:  # {
             flush_bytes()
@@ -294,10 +300,12 @@ def extract_rtf_parts(
             if cp < 0:  # signed 16-bit wrap per spec
                 cp += 65536
             flush_bytes()
+            # land in the ACTIVE sink, not the top-level out: a \uN inside
+            # {\fldrslt}/{\fldinst}/shptxt must stay in that capture frame
             if not 0xD800 <= cp <= 0xDFFF:  # lone surrogates break Arrow
-                out.append(chr(cp) if 0 <= cp <= 0x10FFFF else "�")
+                sink.append(chr(cp) if 0 <= cp <= 0x10FFFF else "�")
             else:
-                out.append("�")
+                sink.append("�")
             pending_skip = uc_skip
             continue
         if word in _SPECIAL_WORDS:

@@ -483,3 +483,63 @@ def test_docx_tracked_insertions_are_included():
     )
     text, _, _ = extract_docx_parts(make_docx(body))
     assert text == "base added"
+
+
+MC_NS = 'xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006"'
+
+
+def test_docx_alternatecontent_fallback_not_duplicated():
+    """mc:AlternateContent carries the same textbox in mc:Choice AND
+    mc:Fallback; emitting both duplicates the text (ADVICE r4). Only the
+    Choice leg may surface."""
+    body = (
+        f"<w:p><w:r><mc:AlternateContent {MC_NS}>"
+        '<mc:Choice Requires="wps">'
+        "<w:r><w:t>textbox content</w:t></w:r></mc:Choice>"
+        "<mc:Fallback><w:r><w:t>textbox content</w:t></w:r></mc:Fallback>"
+        "</mc:AlternateContent></w:r></w:p>"
+    )
+    text, _, _ = extract_docx_parts(make_docx(body))
+    assert text == "textbox content"
+    assert text.count("textbox content") == 1
+
+
+def test_xlsx_phonetic_runs_not_duplicated():
+    """<rPh> furigana runs inside si/is are the phonetic READING of the
+    base text — concatenating every t descendant emits the cell twice
+    (ADVICE r4). Base text only, for shared and inline strings."""
+    wb = (
+        f'<?xml version="1.0"?><workbook {S_NS} {R_NS}><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {REL_NS}>'
+        '<Relationship Id="rId1" Target="worksheets/sheet1.xml" Type="w"/>'
+        "</Relationships>"
+    )
+    sst = (
+        f'<?xml version="1.0"?><sst {S_NS}>'
+        "<si><t>東京</t><rPh sb=\"0\" eb=\"2\"><t>トウキョウ</t></rPh>"
+        "<phoneticPr fontId=\"1\"/></si>"
+        "<si><r><t>大阪</t></r><rPh sb=\"0\" eb=\"2\"><t>オオサカ</t></rPh></si>"
+        "</sst>"
+    )
+    sheet1 = (
+        f'<?xml version="1.0"?><worksheet {S_NS}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>京都</t>'
+        '<rPh sb="0" eb="2"><t>キョウト</t></rPh></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    payload = _zip(
+        {
+            "[Content_Types].xml": "<Types/>",
+            "xl/workbook.xml": wb,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/sharedStrings.xml": sst,
+            "xl/worksheets/sheet1.xml": sheet1,
+        }
+    )
+    text, _, _ = extract_xlsx_parts(payload)
+    assert text == "S\n東京\t大阪\t京都"

@@ -657,3 +657,31 @@ def test_hostile_objstm_header_is_deadline_bounded():
     dt = time.perf_counter() - t0
     assert dt < 10, dt
     assert res.status in ("timeout", "ok", "unsupported")
+
+
+def test_unterminated_stream_does_not_swallow_later_objects():
+    """ADVICE r4: a corrupt stream with no endstream used to mark the rest
+    of the file as stream interior, silently dropping every later object
+    definition — including incremental-update bodies that previously
+    parsed. The consumed window must not advance on the unbounded
+    fallback."""
+    base = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: _content(b"BT (old text) Tj ET"),
+            5: _content(b"BT (new text) Tj ET"),
+        }
+    )
+    # appended incremental update: a stream object whose /Length is wrong
+    # and whose endstream is MISSING (nothing after it in the file carries
+    # one), then a plain-dict re-definition of the page pointing at the
+    # new contents. Pre-fix: consumed_until ran to len(buf) and the page
+    # re-definition was silently dropped -> "old text".
+    update = (
+        b"9 0 obj\n<</Length 999999>>stream\nGARBAGE-NO-TERMINATOR\nendobj\n"
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/Contents 5 0 R>>\nendobj\n"
+    )
+    text, _ = extract_pdf_text(base + update)
+    assert text == "new text"

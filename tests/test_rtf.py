@@ -213,3 +213,52 @@ def test_upr_unicode_ansi_pair_emits_exactly_one_version():
     text, _ = extract_rtf_text(src)
     assert text.count("version") == 1
     assert text == "a plain version b"
+
+
+def test_unicode_escape_inside_field_result_stays_in_field():
+    """VERDICT r4 repro: \\uN inside {\\fldrslt} must land in the field's
+    capture frame, not leak to the top-level output before the field
+    renders (rtf.py routed \\u through `out` instead of `sink`)."""
+    src = (
+        rb"{\rtf1 before {\field{\*\fldinst HYPERLINK "
+        rb'"http://x.example"}{\fldrslt caf\u233 e}} after\par}'
+    )
+    text, _ = extract_rtf_text(src)
+    assert text == "before café (http://x.example) after"
+
+
+def test_unicode_escape_inside_field_instruction_stays_in_instruction():
+    """\\uN inside {\\fldinst} belongs to the (dropped) instruction text —
+    it must not surface in the body, and the URL still parses."""
+    src = (
+        rb"{\rtf1 x {\field{\*\fldinst HYPERLINK "
+        rb'"http://\u233 ?.example"}{\fldrslt link}} y\par}'
+    )
+    text, _ = extract_rtf_text(src)
+    assert text == "x link (http://é.example) y"
+
+
+def test_unicode_escape_inside_shptxt_lands_in_body_order():
+    src = rb"{\rtf1 a {\shpinst\shptxt caf\u233 ?} b\par}"
+    text, _ = extract_rtf_text(src)
+    assert text == "a café b"
+
+
+def test_deadline_fires_on_text_heavy_payload():
+    """ADVICE r4: a plain-text byte run never advances the control-word
+    counter, so the old `records % 2048` gate could run ~unbounded past
+    the budget. The pos-based gate must raise within the budget window."""
+    import time
+
+    from b2xtranslator_spark import budget
+
+    payload = b"{\\rtf1 " + b"x" * (32 * 1024 * 1024) + b"}"
+    budget.set_deadline(0.05)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(budget.DocumentTimeout):
+            extract_rtf_text(payload)
+        # generous bound: the gate fires every 64 KiB of progress
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        budget.clear_deadline()
