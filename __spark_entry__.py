@@ -204,7 +204,13 @@ def _q_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # "display (href)" exactly like the reference's hyperlink fields
         F.lit('</h1><p>See <a href="https://docs.example/'),
         F.col("doc_id").cast("string"),
-        F.lit('">the manual</a></p><p>'),
+        # non-ASCII planted via entities (named + decimal + hex charrefs):
+        # the oracle cannot see encoding bugs in an ASCII-only corpus
+        # (ADVICE r04) — decodes to "café — 東京 naïve"
+        F.lit(
+            '">the manual</a></p>'
+            "<p>caf&eacute; &#8212; &#x6771;&#x4EAC; na&iuml;ve</p><p>"
+        ),
         esc,
         F.lit(
             "</p><footer>(c) 2026 corp</footer><script>track()</script>"
@@ -252,7 +258,11 @@ def _q_extract_markup_main(spark: SparkSession, sf_dir: str) -> DataFrame:
             + '<a href="/q">Pricing</a> <a href="/d">Docs</a></div><h1>'
         ),
         F.col("source"),
-        F.lit("</h1><p>"),
+        # link-free non-ASCII content block (entities): survives the
+        # density filter and makes encoding drift oracle-visible
+        F.lit(
+            "</h1><p>caf&eacute; &#8212; &#x6771;&#x4EAC; na&iuml;ve</p><p>"
+        ),
         esc,
         F.lit(
             '</p><div>Read more: <a href="/next">next article</a> '
@@ -300,6 +310,15 @@ def _q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(
             "{\\rtf1\\ansi\\ansicpg1252\\deff0"
             "{\\fonttbl{\\f0 Arial;}}{\\info{\\title skip}}\\f0\\fs24 "
+            # non-ASCII planted through BOTH escape families (ADVICE r04:
+            # ASCII-only corpora can't see encoding bugs): \'hh codepage
+            # byte + \uN?  escapes — decodes to "café — 東京 naïve"
+            "caf\\'e9 \\u8212 ? \\u26481 ?\\u20140 ? na\\u239 ?ve\\par "
+            # and a non-ASCII FIELD display — the exact blind spot that hid
+            # the r4 \uN-sink bug: Unicode inside {\fldrslt} must render
+            # inside the "display (url)" anchor, in order
+            "{\\field{\\*\\fldinst HYPERLINK \"https://u.example/caf\\'e9\"}"
+            "{\\fldrslt r\\u233 ?sum\\u233 ?}}\\par "
         ),
         esc,
         F.lit("\\par }"),
@@ -344,12 +363,19 @@ def _q_extract_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
             'xmlns:w="http://schemas.openxmlformats.org/'
             'wordprocessingml/2006/main"'
         )
+        # non-ASCII lead paragraph, planted as raw UTF-8 XML text plus
+        # decimal/hex charrefs (ADVICE r04: the oracle must be able to
+        # see encoding drift) — extracts as "café — 東京 naïve"
+        lead = (
+            "<w:p><w:r><w:t xml:space='preserve'>caf&#233; — "
+            "&#x6771;&#x4EAC; naïve</w:t></w:r></w:p>"
+        )
         for pdf in batches:
             out = {"doc_id": [], "source": [], "payload_b64": []}
             for d, txt, src in zip(
                 pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
             ):
-                paras = "".join(
+                paras = lead + "".join(
                     "<w:p><w:r><w:t xml:space='preserve'>"
                     + escape(line).replace("\r", "&#13;")
                     + "</w:t></w:r></w:p>"
@@ -399,26 +425,23 @@ def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser drift in escapes, stream bounds, page walk or dispatch breaks
     the value hash."""
     docs = _table(spark, sf_dir, "documents")
-    # literal-string escaping: backslash first, then parens; CR becomes the
-    # \r ESCAPE (decodes back to a true CR) so raw-CR EOL normalization
-    # (pdf.py 7.3.4.2) can never rewrite corpus text. Non-ASCII text would
-    # decode latin-1 without a font CMap — the synthetic corpus is ASCII
-    # (documented assumption; real PDFs carry ToUnicode CMaps, tested in
-    # tests/test_pdf.py).
-    esc = F.replace(
-        F.replace(
-            F.replace(
-                F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
-                F.lit("("),
-                F.lit("\\("),
-            ),
-            F.lit(")"),
-            F.lit("\\)"),
+    # the shown string is a HEX string carrying the UTF-16BE bytes of the
+    # text behind a FEFF BOM (the text-string convention, PDF 7.9.2.2; the
+    # extractor's no-CMap decoder BOM-sniffs exactly this): full Unicode
+    # round-trips with NO escaping hazards — this lifted the r3/r4
+    # ASCII-only oracle assumption (ADVICE r04), and encoding drift in the
+    # hex tokenizer, BOM sniff, or UTF-16 decode now breaks the hash
+    # first show: the planted non-ASCII line ("café — 東京 naïve"), then a
+    # T* line break, then the document text — the corpus itself is ASCII,
+    # so the plant is what makes encoding drift visible to the oracle
+    content = F.concat(
+        F.lit(
+            "BT <FEFF00630061006600E900202014002067714EAC"
+            "0020006E006100EF00760065> Tj T* <FEFF"
         ),
-        F.lit("\r"),
-        F.lit("\\r"),
+        F.hex(F.encode(F.col("text"), "UTF-16BE")),
+        F.lit("> Tj ET\n"),
     )
-    content = F.concat(F.lit("BT ("), esc, F.lit(") Tj ET\n"))
     pdf = F.concat(
         F.lit(
             "%PDF-1.4\n"
@@ -1570,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    source || chr(10) ||
                    'See the manual (https://docs.example/' || doc_id || ')' ||
+                   chr(10) || 'café — 東京 naïve' ||
                    CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) = ''
                         THEN ''
                         ELSE chr(10) ||
@@ -1584,9 +1608,10 @@ def oracle_sql() -> dict[str, str]:
         # content blocks — stated here with no reference to the extractor
         "extract_markup_main_content": """
             SELECT doc_id,
+                   source || chr(10) || 'café — 東京 naïve' ||
                    CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) = ''
-                        THEN source
-                        ELSE source || chr(10) ||
+                        THEN ''
+                        ELSE chr(10) ||
                              trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
                    END AS extracted,
                    'ok' AS status
@@ -1691,18 +1716,25 @@ def oracle_sql() -> dict[str, str]:
             FROM isl GROUP BY 1, 2
         """,
         # DOCX identity roundtrip: one w:p per line, XML-escaped, CR as a
-        # charref; extractor rstrips trailing newlines
+        # charref; a planted non-ASCII lead paragraph (raw UTF-8 XML +
+        # charrefs) precedes the body; extractor rstrips trailing newlines
         "extract_docx_transcripts": """
             SELECT doc_id,
-                   rtrim(text, chr(10)) AS extracted,
+                   'café — 東京 naïve' ||
+                   CASE WHEN rtrim(text, chr(10)) = '' THEN ''
+                        ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
                    'ok' AS status
             FROM documents
         """,
         # RTF identity roundtrip: body text survives verbatim (newlines as
-        # \par, CR as \'0d); extractor rstrips trailing newlines
+        # \par, CR as \'0d); a planted non-ASCII lead line (codepage \'hh +
+        # \uN escapes) precedes it; extractor rstrips trailing newlines
         "extract_rtf_transcripts": """
             SELECT doc_id,
-                   rtrim(text, chr(10)) AS extracted,
+                   'café — 東京 naïve' || chr(10) ||
+                   'résumé (https://u.example/café)' ||
+                   CASE WHEN rtrim(text, chr(10)) = '' THEN ''
+                        ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
                    'ok' AS status
             FROM documents
         """,
@@ -1872,11 +1904,15 @@ def oracle_sql() -> dict[str, str]:
                        AS n_context_turns
             FROM t
         """,
-        # PDF identity roundtrip: literal strings carry the text verbatim;
-        # the extractor rstrips trailing newlines at content level
+        # PDF identity roundtrip: UTF-16BE hex strings behind a FEFF BOM
+        # carry the text verbatim (full Unicode, no escaping); a planted
+        # non-ASCII line precedes it on its own T* line; the extractor
+        # rstrips trailing newlines at content level
         "extract_pdf_transcripts": """
             SELECT doc_id,
-                   rtrim(text, chr(10)) AS extracted,
+                   'café — 東京 naïve' ||
+                   CASE WHEN rtrim(text, chr(10)) = '' THEN ''
+                        ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
                    'ok' AS status
             FROM documents
         """,
