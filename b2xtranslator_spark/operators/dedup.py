@@ -712,8 +712,11 @@ def trim_duplicate_spans(
     Plan: same gram-hash explode + ONE hash-agg as duplicate_text_spans
     (the agg also computes the keeper arg-min as a scalar composite —
     oracle-portable), a 1:N probe join, then cut indices collect_set per
-    doc and a row-local array rebuild (filter + element_at inside
-    Catalyst, no Python). Composite-key bound: pos < 2^20 per document
+    doc and a row-local array rebuild via array_except over the position
+    sequence (positions are distinct ints, so set semantics are exact;
+    O(tokens + cuts) row-local vs the O(tokens x cuts) per-token
+    array_contains scan it replaced — a fully-duplicated 2^20-token doc
+    is no longer a straggler). Composite-key bound: pos < 2^20 per document
     (enforced loudly, same policy as paragraph_duplicates); doc_id must
     fit 2^43 — document ids beyond that need a wider key."""
     pos_limit = 1 << 20
@@ -762,9 +765,10 @@ def trim_duplicate_spans(
         "ws",
         F.coalesce(F.col("cut"), F.array().cast("array<int>")).alias("cut"),
     )
-    kept = F.filter(
-        F.sequence(F.lit(0), F.size("ws") - 1),
-        lambda i: ~F.array_contains(F.col("cut"), i),
+    # array_except keeps array1's order and hashes array2 — linear in
+    # tokens + cuts, and exact here because positions are distinct
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.size("ws") - 1), F.col("cut")
     )
     return joined.select(
         "doc_id",

@@ -954,3 +954,28 @@ def test_source_mixture_weights_flattens_tail(spark):
     assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-6
     # targets are floor(weight * budget)
     assert out["big"]["target_docs"] == int(out["big"]["weight"] * 100_000)
+
+
+def test_trim_duplicate_spans_worst_case_doc_is_linear(spark):
+    """VERDICT r4 straggler caution: a heavily-duplicated long document
+    used to cost O(tokens x cut-set) row-local comparisons in the
+    per-token array_contains rebuild. The array_except rebuild is linear:
+    a ~20k-token fully-duplicated twin (4e8 comparisons under the old
+    plan) must finish fast and still cut exactly the duplicate mass."""
+    import time
+
+    ntok = 20_000
+    body = " ".join(f"w{i}" for i in range(ntok))
+    docs = spark.createDataFrame(
+        [(0, body), (1, body)], "doc_id long, text string"
+    )
+    from b2xtranslator_spark.operators.dedup import trim_duplicate_spans
+
+    t0 = time.monotonic()
+    out = {r["doc_id"]: r for r in trim_duplicate_spans(docs, n=8).collect()}
+    wall = time.monotonic() - t0
+    assert out[0]["n_tokens_cut"] == 0 and out[0]["n_tokens_kept"] == ntok
+    assert out[1]["n_tokens_kept"] == 0 and out[1]["text_trimmed"] == ""
+    # generous under the documented +-2x host-noise band; the quadratic
+    # plan takes minutes on this input
+    assert wall < 120, f"worst-case doc took {wall:.1f}s — rebuild regressed?"
