@@ -1179,8 +1179,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # suite + the driver's entry() smoke check, media kernels now
     # cross-checked by their *_grid oracle twins, the learned-quantizer IVF
     # twinned by similarity_topk_ivf_grid) is ordered by importance and fully
-    # covered by pytest either way.  The complete 59-query local scoreboard
-    # is committed as CORRECTNESS_LOCAL_r04.txt.
+    # covered by pytest either way.  The complete local scoreboard is
+    # committed as CORRECTNESS_LOCAL_r05.txt.
+    #
+    # ROTATION (VERDICT r04 "Next round" #5): the 8 oracle-paired queries
+    # that sat past the 50-slot window in r4 (stratified_sample,
+    # docs_by_source, dedup_embedding_cosine_fast, dedup_clusters_star,
+    # event_asof_tolerance, top_tokens_sketch, media_thumbnails_grid,
+    # media_frame_schedule) are promoted into the window this round; 8
+    # stalwarts with THREE rounds of driver-green history (r2+r3+r4 PASS:
+    # text_token_count, text_language_id, text_quality_score,
+    # token_histogram, sample_documents, event_asof_join, revenue_by_region,
+    # latest_event_per_user) rotate past it — they stay oracle-paired and
+    # green in the committed local scoreboard.
     return {
         # -- oracle-paired (cross-engine checked vs DuckDB) -----------------
         "extract_markup_transcripts": _q_extract_markup,
@@ -1211,9 +1222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_embed_neardup_lsh,
         "dedup_embedding_pipeline": _q_embed_dedup_pipeline,
         "similarity_topk_bruteforce": _q_similarity_topk,
-        "text_token_count": _q_token_count,
-        "text_language_id": _q_language_id,
-        "text_quality_score": _q_quality,
         "text_repetition": _q_repetition,
         "text_pii_scan": _q_pii_scan,
         "corpus_filter_pipeline": _q_corpus_filter,
@@ -1225,19 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_paragraph_dedup,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprint": _q_winnow,
-        "sample_documents": _q_sample,
         "top_tokens": _q_top_tokens,
-        "token_histogram": _q_token_histogram,
         "token_length_quantiles": _q_token_quantiles,
-        "event_asof_join": _q_event_asof,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "revenue_by_region": _q_revenue_by_region,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
-        # -- oracle-paired VARIANTS past the driver's 50-row window: each
-        #    one's primary form is checked above (sample_documents,
-        #    revenue/lineitem aggregates, exact-cosine spec, min-label CC,
-        #    asof join, top tokens, media grid decode twins); ALL are
-        #    green in CORRECTNESS_LOCAL_r04.txt (58/58 PASS)
+        # promoted into the window this round (r4 local-green, never yet
+        # driver-checked):
         "stratified_sample": _q_stratified_sample,
         "docs_by_source": _q_docs_by_source,
         "dedup_embedding_cosine_fast": _q_embed_neardup_fast,
@@ -1246,6 +1246,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_sketch": _q_top_tokens_sketch,
         "media_thumbnails_grid": _q_media_thumbnails_grid,
         "media_frame_schedule": _q_media_frame_schedule,
+        # -- oracle-paired ROTATED past the driver's 50-row window this
+        #    round: each has r2+r3+r4 driver-green history and stays green
+        #    in the committed local scoreboard
+        "text_token_count": _q_token_count,
+        "text_language_id": _q_language_id,
+        "text_quality_score": _q_quality,
+        "token_histogram": _q_token_histogram,
+        "sample_documents": _q_sample,
+        "event_asof_join": _q_event_asof,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "revenue_by_region": _q_revenue_by_region,
         # -- no_oracle tail (binary decode / synthetic media / learned IVF;
         #    spec'd by the 206-pair fixture suite + pytest goldens) ---------
         "extract_transcripts": _q_extract,
