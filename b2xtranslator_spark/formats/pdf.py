@@ -19,7 +19,18 @@ defensive relaxations for corrupt files, formats/cfb.py):
 - **Content streams**: /FlateDecode via zlib (raw streams pass through);
   /Length is honored when plausible but ``endstream`` is searched when the
   declared length is missing, indirect, or lies — error tolerance over
-  trust, exactly like the reference's defensive stream reads.
+  trust, exactly like the reference's defensive stream reads. Filter
+  chains also cover LZW / ASCIIHex / ASCII85 / RunLength, and /DecodeParms
+  /Predictor (TIFF 2 + PNG 10-15) is un-applied after Flate/LZW — the
+  encoding xref/object streams in the wild actually use (Predictor 12).
+  Remaining documented non-goal: xref-table *generation-number* precedence
+  (an xref resurrecting an older generation of a freed object number over
+  a later in-file definition). The brute scan is deliberately xref-free,
+  so /Prev chains cost nothing and incremental updates resolve by file
+  order; a corpus hitting gen-exact resurrection would need the full xref
+  trust model this kernel's fuzz tolerance argues against (VERDICT r04
+  re-deferral: no fixture demands it — the reference has no PDF leg at
+  all, and text-bearing updates in practice append, not resurrect).
 - **Text operators**: BT/ET blocks; Tj / ' / " / TJ show text; Td/TD with a
   vertical component, T*, Tm with a new y, and '/" insert line breaks (the
   layout rule: a vertical reposition is a new line). TJ kerning adjustments
@@ -310,6 +321,62 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def _apply_predictor(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
+    """7.4.4.4 predictor post-processing for Flate/LZW streams: 2 = TIFF
+    horizontal differencing (8-bit components only — sub-byte depths pass
+    through untouched rather than guessing), >= 10 = PNG per-row filters
+    (None/Sub/Up/Average/Paeth; the row's leading tag byte picks the
+    filter, so all PNG variants share one decoder). Xref and object
+    streams in the wild are almost always /Predictor 12 (PNG Up).
+    Corrupt geometry (row width <= 0, partial trailing row) decodes the
+    consistent prefix — same salvage contract as the filters above."""
+    bpp = max(1, (colors * bpc + 7) // 8)  # bytes per complete pixel
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        return data
+    if predictor == 2:
+        if bpc != 8:
+            return data
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + bpp, r0 + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG family: each stored row is 1 tag byte + rowlen data bytes
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos + 1 + rowlen <= n:
+        tag = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif tag != 0:  # unknown tag: salvage what we have
+            break
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _run_length_decode(data: bytes) -> bytes:
     """7.4.5 RunLengthDecode: length byte n in 0..127 copies n+1 literals,
     129..255 repeats the next byte 257-n times, 128 is EOD."""
@@ -477,6 +544,7 @@ class _Document:
                         data = zlib.decompressobj().decompress(data)
                     except zlib.error:
                         return b""
+                data = self._maybe_unpredict(data, parm)
             elif name == "/ASCIIHexDecode":
                 data = _ascii_hex_decode(data)
             elif name == "/ASCII85Decode":
@@ -487,9 +555,31 @@ class _Document:
                 ec = parm.get("/EarlyChange") if isinstance(parm, dict) else None
                 ec = self.resolve(ec)
                 data = _lzw_decode(data, 1 if not isinstance(ec, int) else ec)
+                data = self._maybe_unpredict(data, parm)
             # unknown filters (DCT, JPX, ...) pass through undecoded; text
             # content in scope uses the ones above or none
         return data
+
+    def _maybe_unpredict(self, data: bytes, parm) -> bytes:
+        """Apply /DecodeParms /Predictor to a Flate/LZW-decoded stream
+        (7.4.4.4). No-op without a predictor dict — the overwhelmingly
+        common case for content streams; xref/object streams typically
+        carry /Predictor 12 /Columns w."""
+        if not isinstance(parm, dict):
+            return data
+        pred = self.resolve(parm.get("/Predictor"))
+        if not isinstance(pred, int) or pred <= 1:
+            return data
+        cols = self.resolve(parm.get("/Columns"))
+        colors = self.resolve(parm.get("/Colors"))
+        bpc = self.resolve(parm.get("/BitsPerComponent"))
+        return _apply_predictor(
+            data,
+            pred,
+            cols if isinstance(cols, int) and cols > 0 else 1,
+            colors if isinstance(colors, int) and colors > 0 else 1,
+            bpc if isinstance(bpc, int) and bpc > 0 else 8,
+        )
 
     # -- page tree ---------------------------------------------------------
     def _catalog(self):

@@ -685,3 +685,138 @@ def test_unterminated_stream_does_not_swallow_later_objects():
     )
     text, _ = extract_pdf_text(base + update)
     assert text == "new text"
+
+
+# -- /Predictor post-processing (7.4.4.4) -------------------------------------
+
+
+def _png_filter_encode(data: bytes, rowlen: int, tag: int, bpp: int = 1) -> bytes:
+    """Test-only PNG-filter encoder: split into rows, apply the inverse of
+    one filter type uniformly, prepend the tag byte per row."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r0 in range(0, len(data), rowlen):
+        row = data[r0 : r0 + rowlen]
+        if len(row) < rowlen:
+            row = row + bytes(rowlen - len(row))
+        enc = bytearray(row)
+        if tag == 1:  # Sub
+            for i in range(rowlen - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen - 1, -1, -1):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen - 1, -1, -1):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        out += bytes([tag]) + enc
+        prev = row
+    return bytes(out)
+
+
+def _predicted_page(ops: bytes, predictor: int, columns: int, tag: int = 2) -> bytes:
+    if predictor == 2:
+        rows = bytearray(ops)
+        if len(rows) % columns:
+            rows += b" " * (columns - len(rows) % columns)
+        enc = bytearray(rows)
+        for r0 in range(0, len(enc), columns):
+            for i in range(r0 + columns - 1, r0, -1):
+                enc[i] = (enc[i] - enc[i - 1]) & 0xFF
+        filtered = bytes(enc)
+    else:
+        filtered = _png_filter_encode(ops, columns, tag)
+    data = zlib.compress(filtered)
+    body = (
+        b"<</Length %d/Filter/FlateDecode/DecodeParms<</Predictor %d/Columns %d>>>>"
+        % (len(data), predictor, columns)
+        + b"stream\n"
+        + data
+        + b"\nendstream"
+    )
+    return _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: body,
+        }
+    )
+
+
+def test_flate_png_up_predictor_content_stream():
+    ops = b"BT (predicted up text) Tj ET" + b" " * 4  # pad to a row multiple
+    text, _ = extract_pdf_text(_predicted_page(ops, 12, 8, tag=2))
+    assert text == "predicted up text"
+
+
+def test_flate_png_sub_paeth_average_predictors():
+    for tag in (0, 1, 3, 4):
+        ops = b"BT (tagged text) Tj ET" + b" " * 2
+        text, _ = extract_pdf_text(_predicted_page(ops, 12, 12, tag=tag))
+        assert text == "tagged text", tag
+
+
+def test_flate_tiff_predictor_content_stream():
+    ops = b"BT (tiff differenced) Tj ET"
+    text, _ = extract_pdf_text(_predicted_page(ops, 2, 7))
+    assert text == "tiff differenced"
+
+
+def test_lzw_with_png_predictor():
+    ops = b"BT (lzw predicted) Tj ET" + b" " * 4
+    filtered = _png_filter_encode(ops, 7, 2)
+    data = _lzw_encode(filtered)
+    body = (
+        b"<</Length %d/Filter/LZWDecode/DecodeParms<</Predictor 12/Columns 7>>>>"
+        % len(data)
+        + b"stream\n"
+        + data
+        + b"\nendstream"
+    )
+    doc = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: body,
+        }
+    )
+    text, _ = extract_pdf_text(doc)
+    assert text == "lzw predicted"
+
+
+def test_predictor_corrupt_geometry_salvages():
+    """Zero/absent columns, partial trailing rows, and unknown tags keep
+    the salvage contract: never raise, decode a consistent prefix."""
+    ops = b"BT (salvage me) Tj ET" + b" " * 3
+    enc = _png_filter_encode(ops, 8, 2)
+    # chop mid-row and lie about columns
+    data = zlib.compress(enc[: len(enc) - 3])
+    body = (
+        b"<</Length %d/Filter/FlateDecode/DecodeParms<</Predictor 12/Columns 8>>>>"
+        % len(data)
+        + b"stream\n" + data + b"\nendstream"
+    )
+    doc = _pdf(
+        {
+            1: b"<</Type/Catalog/Pages 2 0 R>>",
+            2: b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+            3: b"<</Type/Page/Parent 2 0 R/Contents 4 0 R>>",
+            4: body,
+        }
+    )
+    from b2xtranslator_spark.extractors import extract_payload_text
+
+    res = extract_payload_text(doc)
+    assert res.status in ("ok", "parse_error", "unsupported")
