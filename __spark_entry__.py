@@ -415,6 +415,160 @@ def _q_extract_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ODF_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+    'xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"'
+)
+
+_ODF_MIMES = {
+    "text": "application/vnd.oasis.opendocument.text",
+    "spreadsheet": "application/vnd.oasis.opendocument.spreadsheet",
+    "presentation": "application/vnd.oasis.opendocument.presentation",
+}
+
+
+def _odf_payload_synth(docs: DataFrame, which: str, body_fn) -> DataFrame:
+    """Shared ODF synthesis plumbing: per documents-row, body_fn(text) ->
+    office:<which> inner XML; zipped with the real mimetype member and
+    b64-carried through the binary payload path (zip magic + mimetype
+    dispatch in formats/odf.py)."""
+
+    def synth(batches):
+        import base64
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        mime = _ODF_MIMES[which]
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "payload_b64": []}
+            for d, txt, src in zip(
+                pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
+            ):
+                content = (
+                    f'<?xml version="1.0" encoding="UTF-8"?>'
+                    f"<office:document-content {_ODF_NS}><office:body>"
+                    f"<office:{which}>{body_fn(txt or '')}</office:{which}>"
+                    f"</office:body></office:document-content>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(
+                        zipfile.ZipInfo("mimetype"), mime, zipfile.ZIP_STORED
+                    )
+                    zf.writestr("content.xml", content)
+                out["doc_id"].append(int(d))
+                out["source"].append(src)
+                out["payload_b64"].append(
+                    "b64cfb:" + base64.b64encode(buf.getvalue()).decode()
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        synth, schema="doc_id long, source string, payload_b64 string"
+    )
+    transcripts = payloads.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("payload_b64").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
+def _q_extract_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument text leg with an IDENTITY oracle: a minimal .odt (real
+    zip, mimetype member, office:text body) is synthesized per
+    documents-row — one text:p per line, XML-escaped, CR carried as &#13;
+    — plus a non-ASCII lead paragraph (raw UTF-8 + charrefs, ADVICE r04)
+    and extracted by the real zip + ElementTree path (formats/odf.py).
+    Paragraph text round-trips verbatim, so the expected extraction is
+    the lead plus the original text sans trailing newlines."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def body(txt: str) -> str:
+        from xml.sax.saxutils import escape
+
+        lead = "<text:p>caf&#233; — &#x6771;&#x4EAC; naïve</text:p>"
+        return lead + "".join(
+            "<text:p>" + escape(line).replace("\r", "&#13;") + "</text:p>"
+            for line in txt.split("\n")
+        )
+
+    return _odf_payload_synth(docs, "text", body)
+
+
+def _q_extract_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument spreadsheet leg with an IDENTITY oracle: per
+    documents-row a one-sheet .ods — a lead row of TYPED cells (float 42,
+    float 2.5, boolean true -> "42\\t2.5\\tTRUE", locking the shared xls
+    number-formatter path), then one single-cell row per text line. Cell
+    text round-trips verbatim (tabs inside a line stay inside the one
+    cell), so the expected extraction is the sheet name line, the typed
+    lead row, and the original text sans trailing newlines."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def body(txt: str) -> str:
+        from xml.sax.saxutils import escape
+
+        rows = "".join(
+            "<table:table-row><table:table-cell office:value-type='string'>"
+            "<text:p>" + escape(line).replace("\r", "&#13;") + "</text:p>"
+            "</table:table-cell></table:table-row>"
+            for line in txt.split("\n")
+        )
+        return (
+            '<table:table table:name="S"><table:table-row>'
+            '<table:table-cell office:value-type="float" office:value="42"/>'
+            '<table:table-cell office:value-type="float" office:value="2.5"/>'
+            '<table:table-cell office:value-type="boolean"'
+            ' office:boolean-value="true"/>'
+            "</table:table-row>" + rows + "</table:table>"
+        )
+
+    return _odf_payload_synth(docs, "spreadsheet", body)
+
+
+def _q_extract_odp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument presentation leg with an IDENTITY oracle: per
+    documents-row a one-page .odp — one text:p per line inside a
+    draw:text-box, plus a presenter-notes box carrying a fixed non-ASCII
+    line that must land AFTER the slide text (the pages-then-notes
+    ordering contract shared with the legacy PPT leg). Empty trailing
+    lines of the slide text are preserved by the notes suffix, so the
+    expected extraction is exactly text + newline + the notes line."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def body(txt: str) -> str:
+        from xml.sax.saxutils import escape
+
+        paras = "".join(
+            "<text:p>" + escape(line).replace("\r", "&#13;") + "</text:p>"
+            for line in txt.split("\n")
+        )
+        return (
+            "<draw:page><draw:frame><draw:text-box>"
+            + paras
+            + "</draw:text-box></draw:frame>"
+            "<presentation:notes><draw:frame><draw:text-box>"
+            "<text:p>notes: d&#233;j&#224; vu &#x2713;</text:p>"
+            "</draw:text-box></draw:frame></presentation:notes></draw:page>"
+        )
+
+    return _odf_payload_synth(docs, "presentation", body)
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg of the north rule, with an IDENTITY oracle: a one-page PDF is
     synthesized per document (escaped text as the content stream's literal
@@ -1246,6 +1400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_sketch": _q_top_tokens_sketch,
         "media_thumbnails_grid": _q_media_thumbnails_grid,
         "media_frame_schedule": _q_media_frame_schedule,
+        # -- oracle-paired but NEW this round (no window slot free; local
+        #    scoreboard evidence now, window promotion candidates for r6):
+        #    the OpenDocument extraction legs
+        "extract_odt_transcripts": _q_extract_odt,
+        "extract_ods_transcripts": _q_extract_ods,
+        "extract_odp_transcripts": _q_extract_odp,
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
@@ -1734,6 +1894,33 @@ def oracle_sql() -> dict[str, str]:
                    'café — 東京 naïve' ||
                    CASE WHEN rtrim(text, chr(10)) = '' THEN ''
                         ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        # ODF identity roundtrips (formats/odf.py): odt mirrors the docx
+        # shape (non-ASCII lead paragraph + one text:p per line); ods adds
+        # the sheet-name line and a TYPED lead row through the shared xls
+        # number formatter; odp appends the presenter-notes line AFTER the
+        # slide text, preserving trailing empty lines
+        "extract_odt_transcripts": """
+            SELECT doc_id,
+                   'café — 東京 naïve' ||
+                   CASE WHEN rtrim(text, chr(10)) = '' THEN ''
+                        ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        "extract_ods_transcripts": """
+            SELECT doc_id,
+                   'S' || chr(10) || '42' || chr(9) || '2.5' || chr(9) || 'TRUE' ||
+                   CASE WHEN rtrim(text, chr(10)) = '' THEN ''
+                        ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        "extract_odp_transcripts": """
+            SELECT doc_id,
+                   text || chr(10) || 'notes: déjà vu ✓' AS extracted,
                    'ok' AS status
             FROM documents
         """,

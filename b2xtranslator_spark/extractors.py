@@ -22,6 +22,12 @@ from .formats import cfb
 from .formats.markup import extract_html_parts, looks_like_markup
 from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
+from .formats.odf import (
+    extract_odp_parts,
+    extract_ods_parts,
+    extract_odt_parts,
+    odf_kind,
+)
 from .formats.ooxml import (
     extract_docx_parts,
     extract_pptx_parts,
@@ -105,7 +111,7 @@ def extract_payload_text(
             res.metrics["records_decoded"] = records
             res.metrics["spans"] = spans
         elif looks_like_ooxml(payload):
-            kind = ooxml_kind(payload)
+            kind = ooxml_kind(payload) or odf_kind(payload)
             if kind == "docx":
                 res.text, records, spans = extract_docx_parts(
                     payload, extract_urls=extract_urls
@@ -114,9 +120,17 @@ def extract_payload_text(
                 res.text, records, spans = extract_xlsx_parts(payload)
             elif kind == "pptx":
                 res.text, records, spans = extract_pptx_parts(payload)
+            elif kind == "odt":
+                res.text, records, spans = extract_odt_parts(
+                    payload, extract_urls=extract_urls
+                )
+            elif kind == "ods":
+                res.text, records, spans = extract_ods_parts(payload)
+            elif kind == "odp":
+                res.text, records, spans = extract_odp_parts(payload)
             else:
                 res.status = "unsupported"
-                res.error = "zip container without a recognized OOXML part"
+                res.error = "zip container without a recognized OOXML/ODF part"
             if res.status == "ok":
                 res.kind = kind
                 res.metrics["records_decoded"] = records
