@@ -569,6 +569,91 @@ def _q_extract_odp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _odf_payload_synth(docs, "presentation", body)
 
 
+def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB leg with a full oracle: per documents-row a two-chapter book
+    (real zip + container.xml + OPF spine; archive order REVERSED so the
+    spine ordering is what's under test) — chapter 1 a fixed non-ASCII
+    lead (entities + raw UTF-8), chapter 2 the escaped document text in
+    one paragraph. Chapters run through the real markup fold, so the
+    expected text is the lead lines plus the whitespace-collapsed
+    document text, chapter-joined by newlines — any drift in spine
+    resolution, manifest filtering, entity decode, or the block fold
+    breaks the value hash."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def synth(batches):
+        import base64
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        container = (
+            '<?xml version="1.0"?>'
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles></container>'
+        )
+        opf = (
+            '<?xml version="1.0"?>'
+            '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+            '<manifest>'
+            '<item id="c0" href="ch0.xhtml" media-type="application/xhtml+xml"/>'
+            '<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>'
+            '<item id="cover" href="cover.png" media-type="image/png"/>'
+            '</manifest><spine><itemref idref="c0"/><itemref idref="c1"/>'
+            "</spine></package>"
+        )
+        lead = (
+            "<html><body><h1>Chapter One</h1>"
+            "<p>caf&eacute; &#8212; 東京 na&iuml;ve</p></body></html>"
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "payload_b64": []}
+            for d, txt, src in zip(
+                pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
+            ):
+                ch1 = (
+                    "<html><body><p>" + escape(txt or "") + "</p></body></html>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(
+                        zipfile.ZipInfo("mimetype"),
+                        "application/epub+zip",
+                        zipfile.ZIP_STORED,
+                    )
+                    zf.writestr("META-INF/container.xml", container)
+                    zf.writestr("OEBPS/content.opf", opf)
+                    zf.writestr("OEBPS/ch1.xhtml", ch1)  # archive order reversed
+                    zf.writestr("OEBPS/ch0.xhtml", lead)
+                out["doc_id"].append(int(d))
+                out["source"].append(src)
+                out["payload_b64"].append(
+                    "b64cfb:" + base64.b64encode(buf.getvalue()).decode()
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        synth, schema="doc_id long, source string, payload_b64 string"
+    )
+    transcripts = payloads.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("payload_b64").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg of the north rule, with an IDENTITY oracle: a one-page PDF is
     synthesized per document (escaped text as the content stream's literal
@@ -1406,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_odt_transcripts": _q_extract_odt,
         "extract_ods_transcripts": _q_extract_ods,
         "extract_odp_transcripts": _q_extract_odp,
+        "extract_epub_transcripts": _q_extract_epub,
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
@@ -1921,6 +2007,20 @@ def oracle_sql() -> dict[str, str]:
         "extract_odp_transcripts": """
             SELECT doc_id,
                    text || chr(10) || 'notes: déjà vu ✓' AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        # EPUB identity: spine-ordered chapters through the markup fold —
+        # the fixed lead chapter's two blocks, then the document text as
+        # one whitespace-collapsed block (the markup-leg convention)
+        "extract_epub_transcripts": """
+            SELECT doc_id,
+                   'Chapter One' || chr(10) || 'café — 東京 naïve' ||
+                   CASE WHEN trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) = ''
+                        THEN ''
+                        ELSE chr(10) ||
+                             trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
+                   END AS extracted,
                    'ok' AS status
             FROM documents
         """,

@@ -22,6 +22,7 @@ from .formats import cfb
 from .formats.markup import extract_html_parts, looks_like_markup
 from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
+from .formats.epub import epub_kind, extract_epub_parts
 from .formats.odf import (
     extract_odp_parts,
     extract_ods_parts,
@@ -111,7 +112,7 @@ def extract_payload_text(
             res.metrics["records_decoded"] = records
             res.metrics["spans"] = spans
         elif looks_like_ooxml(payload):
-            kind = ooxml_kind(payload) or odf_kind(payload)
+            kind = ooxml_kind(payload) or odf_kind(payload) or epub_kind(payload)
             if kind == "docx":
                 res.text, records, spans = extract_docx_parts(
                     payload, extract_urls=extract_urls
@@ -128,6 +129,10 @@ def extract_payload_text(
                 res.text, records, spans = extract_ods_parts(payload)
             elif kind == "odp":
                 res.text, records, spans = extract_odp_parts(payload)
+            elif kind == "epub":
+                res.text, records, spans = extract_epub_parts(
+                    payload, extract_urls=extract_urls
+                )
             else:
                 res.status = "unsupported"
                 res.error = "zip container without a recognized OOXML/ODF part"
