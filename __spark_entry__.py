@@ -654,6 +654,61 @@ def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EML leg with an IDENTITY oracle: per documents-row a real RFC 2045
+    message built by the stdlib generator — fixed From/To/Date, a
+    non-ASCII Subject that round-trips through RFC 2047 encoded-words,
+    and the document text as a base64 content-transfer-encoded UTF-8
+    body (so newlines, boundary-looking lines, and non-ASCII all survive
+    transport encoding). The expected extraction is the four shown
+    header lines plus the body sans trailing newlines — drift in header
+    decode, CTE decode, charset handling, or part selection breaks the
+    value hash."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def synth(batches):
+        import base64
+        from email.message import EmailMessage
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "payload_b64": []}
+            for d, txt, src in zip(
+                pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
+            ):
+                msg = EmailMessage()
+                msg["From"] = "alice@example.com"
+                msg["To"] = "bob@example.com"
+                msg["Subject"] = "café — 東京 naïve"
+                msg["Date"] = "Mon, 02 Feb 2026 10:00:00 +0000"
+                msg.set_content(txt or "", charset="utf-8", cte="base64")
+                out["doc_id"].append(int(d))
+                out["source"].append(src)
+                out["payload_b64"].append(
+                    "b64cfb:" + base64.b64encode(msg.as_bytes()).decode()
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        synth, schema="doc_id long, source string, payload_b64 string"
+    )
+    transcripts = payloads.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("payload_b64").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg of the north rule, with an IDENTITY oracle: a one-page PDF is
     synthesized per document (escaped text as the content stream's literal
@@ -1492,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_ods_transcripts": _q_extract_ods,
         "extract_odp_transcripts": _q_extract_odp,
         "extract_epub_transcripts": _q_extract_epub,
+        "extract_eml_transcripts": _q_extract_eml,
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
@@ -2021,6 +2077,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE chr(10) ||
                              trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
                    END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        # EML identity: RFC 2047 subject + base64-CTE UTF-8 body both
+        # round-trip; shown headers in fixed order then the body
+        "extract_eml_transcripts": """
+            SELECT doc_id,
+                   'From: alice@example.com' || chr(10) ||
+                   'To: bob@example.com' || chr(10) ||
+                   'Subject: café — 東京 naïve' || chr(10) ||
+                   'Date: Mon, 02 Feb 2026 10:00:00 +0000' ||
+                   CASE WHEN rtrim(text, chr(10)) = '' THEN ''
+                        ELSE chr(10) || rtrim(text, chr(10)) END AS extracted,
                    'ok' AS status
             FROM documents
         """,

@@ -22,6 +22,7 @@ from .formats import cfb
 from .formats.markup import extract_html_parts, looks_like_markup
 from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
+from .formats.eml import extract_eml_parts, looks_like_eml
 from .formats.epub import epub_kind, extract_epub_parts
 from .formats.odf import (
     extract_odp_parts,
@@ -102,6 +103,15 @@ def extract_payload_text(
         ):
             res.kind = "rtf"
             res.text, records, spans = extract_rtf_parts(
+                payload, extract_urls=extract_urls
+            )
+            res.metrics["records_decoded"] = records
+            res.metrics["spans"] = spans
+        elif force_kind == "eml" or (
+            force_kind is None and looks_like_eml(payload)
+        ):
+            res.kind = "eml"
+            res.text, records, spans = extract_eml_parts(
                 payload, extract_urls=extract_urls
             )
             res.metrics["records_decoded"] = records
