@@ -256,6 +256,14 @@ def test_new_extraction_legs_have_zero_shuffle(spark):
     )
     em = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(em)
-    for name in ("extract_rtf_transcripts", "extract_docx_transcripts"):
+    for name in (
+        "extract_rtf_transcripts",
+        "extract_docx_transcripts",
+        "extract_odt_transcripts",
+        "extract_ods_transcripts",
+        "extract_odp_transcripts",
+        "extract_epub_transcripts",
+        "extract_eml_transcripts",
+    ):
         plan = _plan(em.queries()[name](spark, SF_DIR))
         assert plan.count("Exchange") == 0, name
