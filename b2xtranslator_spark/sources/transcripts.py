@@ -92,6 +92,11 @@ def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
         ("synthetic.docx", build_docx_fixture()),
         ("synthetic.xlsx", build_xlsx_fixture()),
         ("synthetic.pptx", build_pptx_fixture()),
+        ("synthetic.odt", build_odt_fixture()),
+        ("synthetic.ods", build_ods_fixture()),
+        ("synthetic.odp", build_odp_fixture()),
+        ("synthetic.epub", build_epub_fixture()),
+        ("synthetic.eml", build_eml_fixture()),
     ):
         _add(name, payload, normalize_text(expected) or "", False)
     return pd.DataFrame(rows)
@@ -164,6 +169,139 @@ def build_pdf_fixture() -> tuple[bytes, str]:
         "and line two from a compressed stream"
     )
     return pdf, expected
+
+
+_ODF_FIXTURE_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+    'xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0" '
+    'xmlns:xlink="http://www.w3.org/1999/xlink"'
+)
+
+
+def _zip_fixture(members: list[tuple[str, bytes | str, bool]]) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data, stored in members:
+            if stored:
+                zf.writestr(zipfile.ZipInfo(name), data, zipfile.ZIP_STORED)
+            else:
+                zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _odf_fixture(kind: str, body_inner: str) -> bytes:
+    which = {"odt": "text", "ods": "spreadsheet", "odp": "presentation"}[kind]
+    mime = f"application/vnd.oasis.opendocument.{ {'odt': 'text', 'ods': 'spreadsheet', 'odp': 'presentation'}[kind] }"
+    content = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f"<office:document-content {_ODF_FIXTURE_NS}>"
+        f"<office:body><office:{which}>{body_inner}</office:{which}>"
+        f"</office:body></office:document-content>"
+    )
+    return _zip_fixture(
+        [("mimetype", mime, True), ("content.xml", content, False)]
+    )
+
+
+def build_odt_fixture() -> tuple[bytes, str]:
+    """Deterministic .odt + expected text (OpenDocument leg of the
+    flagship corpus; mimetype-member dispatch, formats/odf.py)."""
+    body = (
+        "<text:h>Synthetic ODT fixture</text:h>"
+        "<text:p>spaced<text:s text:c='2'/>and<text:tab/>tabbed café</text:p>"
+        '<text:p>go <text:a xlink:href="http://o.example/d">docs</text:a></text:p>'
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>oa</text:p></table:table-cell>"
+        "<table:table-cell><text:p>ob</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+    )
+    expected = (
+        "Synthetic ODT fixture\n"
+        "spaced  and\ttabbed café\n"
+        "go docs (http://o.example/d)\n"
+        "oa\tob"
+    )
+    return _odf_fixture("odt", body), expected
+
+
+def build_ods_fixture() -> tuple[bytes, str]:
+    body = (
+        '<table:table table:name="Sheet1"><table:table-row>'
+        '<table:table-cell office:value-type="string"><text:p>k</text:p></table:table-cell>'
+        '<table:table-cell office:value-type="float" office:value="7.25"/>'
+        "</table:table-row></table:table>"
+    )
+    return _odf_fixture("ods", body), "Sheet1\nk\t7.25"
+
+
+def build_odp_fixture() -> tuple[bytes, str]:
+    body = (
+        "<draw:page><draw:frame><draw:text-box>"
+        "<text:p>Synthetic ODP slide</text:p></draw:text-box></draw:frame>"
+        "<presentation:notes><draw:frame><draw:text-box>"
+        "<text:p>presenter note</text:p></draw:text-box></draw:frame>"
+        "</presentation:notes></draw:page>"
+    )
+    return _odf_fixture("odp", body), "Synthetic ODP slide\npresenter note"
+
+
+def build_epub_fixture() -> tuple[bytes, str]:
+    """Two-chapter EPUB with the archive order reversed (spine order is
+    the contract under test; formats/epub.py)."""
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0"><manifest>'
+        '<item id="c0" href="ch0.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>'
+        '</manifest><spine><itemref idref="c0"/><itemref idref="c1"/></spine>'
+        "</package>"
+    )
+    payload = _zip_fixture(
+        [
+            ("mimetype", "application/epub+zip", True),
+            ("META-INF/container.xml", container, False),
+            ("OEBPS/content.opf", opf, False),
+            ("OEBPS/ch1.xhtml", "<html><body><p>chapter two text</p></body></html>", False),
+            ("OEBPS/ch0.xhtml", "<html><body><h1>Synthetic EPUB</h1><p>chapter one text</p></body></html>", False),
+        ]
+    )
+    return payload, "Synthetic EPUB\nchapter one text\nchapter two text"
+
+
+def build_eml_fixture() -> tuple[bytes, str]:
+    """Multipart/alternative message (plain preferred; formats/eml.py)."""
+    eml = (
+        b"From: fixture@example.com\r\n"
+        b"To: corpus@example.com\r\n"
+        b"Subject: =?utf-8?b?U3ludGhldGljIEVNTCBjYWbDqQ==?=\r\n"
+        b"Date: Mon, 02 Feb 2026 10:00:00 +0000\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/alternative; boundary="F"\r\n'
+        b"\r\n--F\r\nContent-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        b"cGxhaW4gYm9keSBsaW5lCg==\r\n"
+        b"--F\r\nContent-Type: text/html\r\n\r\n<p>html alt</p>\r\n--F--\r\n"
+    )
+    expected = (
+        "From: fixture@example.com\n"
+        "To: corpus@example.com\n"
+        "Subject: Synthetic EML café\n"
+        "Date: Mon, 02 Feb 2026 10:00:00 +0000\n"
+        "plain body line"
+    )
+    return eml, expected
 
 
 def _skeleton(n_turns: int, doc_fraction: float, seed: int, n_samples: int) -> pd.DataFrame:

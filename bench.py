@@ -162,6 +162,9 @@ def main() -> None:
         "extract_pdf_transcripts",
         "extract_rtf_transcripts",
         "extract_docx_transcripts",
+        "extract_odt_transcripts",
+        "extract_epub_transcripts",
+        "extract_eml_transcripts",
         "assemble_conversations",
         "turn_context_windows",
         "media_image_dhash_grid",

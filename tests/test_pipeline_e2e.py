@@ -56,7 +56,16 @@ def _row_ok(row) -> bool:
 # (formats/rtf.py, golden-covered in tests/test_rtf.py). The doc2text CLI
 # surface keeps exact reference parity (no sniff on the Word path;
 # tests/test_doc_fixtures.py still passes this sample as the error).
-PIPELINE_DEVIATIONS = set(KNOWN_DEVIATIONS) | {"sample3-is-an-rtf-file.doc"}
+# capability deviations: payloads whose .doc extension lies about the
+# format. The reference rejects both with the CFB magic-number error (its
+# expected.txt IS that error); the pipeline's content sniff extracts the
+# real text instead. The doc2text CLI surface keeps exact reference
+# parity (no sniff on the Word path). Positive contracts below assert
+# each actually extracts.
+PIPELINE_DEVIATIONS = set(KNOWN_DEVIATIONS) | {
+    "sample3-is-an-rtf-file.doc",
+    "docx-wrong-ext.doc",
+}
 
 
 def test_per_turn_text_equality(extracted_vs_expected):
@@ -66,6 +75,17 @@ def test_per_turn_text_equality(extracted_vs_expected):
     hard = doc_rows[~doc_rows["sample_name"].isin(PIPELINE_DEVIATIONS)]
     bad = [r["sample_name"] for _, r in hard.iterrows() if not _row_ok(r)]
     assert not bad, f"{len(bad)} mismatching turns: {sorted(set(bad))[:10]}"
+
+
+def test_docx_disguised_doc_extracts_instead_of_erroring(extracted_vs_expected):
+    """Same contract as the RTF twin below: the OOXML zip magic wins over
+    the lying .doc extension; real text, not the magic-number error."""
+    df = extracted_vs_expected
+    rows = df[df["sample_name"] == "docx-wrong-ext.doc"]
+    if rows.empty:
+        return  # not drawn into this corpus sample
+    assert (rows["status"] == "ok").all()
+    assert rows["text"].str.contains("DOCX FILE").all()
 
 
 def test_rtf_disguised_doc_extracts_instead_of_erroring(extracted_vs_expected):
