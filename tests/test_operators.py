@@ -979,3 +979,71 @@ def test_trim_duplicate_spans_worst_case_doc_is_linear(spark):
     # generous under the documented +-2x host-noise band; the quadratic
     # plan takes minutes on this input
     assert wall < 120, f"worst-case doc took {wall:.1f}s — rebuild regressed?"
+
+
+def test_bpe_train_core_matches_paper_example():
+    """Sennrich et al. (2016) worked example: corpus low/lower/newest/
+    widest; the first merges must pick the most frequent pairs with
+    deterministic lexicographic tie-breaks."""
+    from b2xtranslator_spark.operators.bpe import (
+        bpe_apply_merges,
+        bpe_train_core,
+    )
+
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_train_core(counts, 4)
+    # 'es' appears in newest+widest = 9 (the paper's first merge), then
+    # 'est</w>' = 9, then 'lo' = 7
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t</w>")
+    assert merges[2] == ("l", "o")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_apply_merges("newest", ranks)[-1] == "est</w>"
+    assert bpe_apply_merges("lowest", ranks)[-1] == "est</w>"  # generalizes
+    assert bpe_apply_merges("", ranks) == []
+
+
+def test_bpe_train_core_deterministic_and_merge_count_bounded():
+    from b2xtranslator_spark.operators.bpe import bpe_train_core
+
+    counts = [("aba", 3), ("abb", 3), ("bab", 3)]
+    m1 = bpe_train_core(counts, 50)
+    m2 = bpe_train_core(list(reversed(counts)), 50)
+    assert m1 == m2  # input order cannot matter
+    assert len(m1) <= 50  # loop stops when no pair remains
+
+
+def test_bpe_spark_train_encode_roundtrip(spark):
+    """Distributed train + encode: concatenating a word's subword tokens
+    (end-marker stripped) must reproduce the word — the lossless-segmentation
+    invariant — and common words must compress to fewer symbols than chars."""
+    from b2xtranslator_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog the end") for i in range(40)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=60)
+    assert merges and all(len(p) == 2 for p in merges)
+    out = bpe_encode(docs, merges).collect()
+    for row in out:
+        rebuilt = "".join(row["tokens"]).replace("</w>", " ").strip()
+        assert rebuilt == "the quick brown fox jumps over the lazy dog the end"
+        assert row["n_tokens"] == len(row["tokens"])
+    # 'the' occurs 3x/doc: with 60 merges it must be a single symbol
+    assert "the</w>" in out[0]["tokens"]
+
+
+def test_bpe_encode_plan_is_pure_map(spark):
+    from b2xtranslator_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    plan = (
+        bpe_encode(docs, [("a", "b</w>")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
