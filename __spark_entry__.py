@@ -654,6 +654,25 @@ def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train+encode verified through the lossless-segmentation
+    invariant, stated as a FULL oracle: merges learned from the corpus
+    itself (bounded fit), every document encoded, and the token stream
+    re-concatenated (end-markers back to spaces) — which must reproduce
+    the whitespace-normalized lowercase text exactly. Any bug in the
+    merge loop, rank application, or word segmentation breaks the value
+    hash; compression is additionally reported rows-only via pytest."""
+    from b2xtranslator_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=200, max_word_types=50_000)
+    enc = bpe_encode(docs, merges)
+    rebuilt = F.trim(
+        F.regexp_replace(F.array_join("tokens", ""), F.lit("</w>"), F.lit(" "))
+    )
+    return enc.select("doc_id", rebuilt.alias("rebuilt"))
+
+
 def _q_extract_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EML leg with an IDENTITY oracle: per documents-row a real RFC 2045
     message built by the stdlib generator — fixed From/To/Date, a
@@ -1548,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_odp_transcripts": _q_extract_odp,
         "extract_epub_transcripts": _q_extract_epub,
         "extract_eml_transcripts": _q_extract_eml,
+        "bpe_encode_roundtrip": _q_bpe_roundtrip,
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
@@ -2078,6 +2098,14 @@ def oracle_sql() -> dict[str, str]:
                              trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
                    END AS extracted,
                    'ok' AS status
+            FROM documents
+        """,
+        # BPE lossless-segmentation invariant: re-concatenated subword
+        # tokens must equal the whitespace-normalized lowercase text
+        "bpe_encode_roundtrip": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'))
+                       AS rebuilt
             FROM documents
         """,
         # EML identity: RFC 2047 subject + base64-CTE UTF-8 body both
