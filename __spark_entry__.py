@@ -654,6 +654,54 @@ def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text leg with an IDENTITY oracle, shipped GZIPPED: per
+    documents-row the UTF-8 bytes of a non-ASCII lead line plus the text,
+    gzip-wrapped (mtime=0), b64-carried through the binary payload path —
+    exercising the transparent gzip unwrap, the conservative text sniff,
+    and the newline-normalizing decode in one leg. Expected extraction is
+    the lead plus the CR-normalized text sans trailing newlines."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def synth(batches):
+        import base64
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "payload_b64": []}
+            for d, txt, src in zip(
+                pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
+            ):
+                raw = ("café — 東京 naïve\n" + (txt or "")).encode("utf-8")
+                out["doc_id"].append(int(d))
+                out["source"].append(src)
+                out["payload_b64"].append(
+                    "b64cfb:"
+                    + base64.b64encode(gzip.compress(raw, mtime=0)).decode()
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(
+        synth, schema="doc_id long, source string, payload_b64 string"
+    )
+    transcripts = payloads.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("payload_b64").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        "status",
+    )
+
+
 def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train+encode verified through the lossless-segmentation
     invariant, stated as a FULL oracle: merges learned from the corpus
@@ -1568,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_epub_transcripts": _q_extract_epub,
         "extract_eml_transcripts": _q_extract_eml,
         "bpe_encode_roundtrip": _q_bpe_roundtrip,
+        "extract_text_transcripts": _q_extract_text,
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
@@ -2097,6 +2146,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE chr(10) ||
                              trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
                    END AS extracted,
+                   'ok' AS status
+            FROM documents
+        """,
+        # gzip-wrapped plain-text identity: lead line + CR-normalized
+        # text, trailing newlines trimmed
+        "extract_text_transcripts": """
+            SELECT doc_id,
+                   'café — 東京 naïve' ||
+                   CASE WHEN rtrim(replace(replace(text, chr(13) || chr(10),
+                                 chr(10)), chr(13), chr(10)), chr(10)) = ''
+                        THEN ''
+                        ELSE chr(10) || rtrim(replace(replace(text,
+                                 chr(13) || chr(10), chr(10)), chr(13),
+                                 chr(10)), chr(10)) END AS extracted,
                    'ok' AS status
             FROM documents
         """,

@@ -23,6 +23,7 @@ from .formats.markup import extract_html_parts, looks_like_markup
 from .formats.pdf import PDF_MAGIC, extract_pdf_parts
 from .formats.ppt import extract_ppt_text_parts
 from .formats.eml import extract_eml_parts, looks_like_eml
+from .formats.plaintext import extract_text_parts, looks_like_text, maybe_gunzip
 from .formats.epub import epub_kind, extract_epub_parts
 from .formats.odf import (
     extract_odp_parts,
@@ -82,6 +83,9 @@ def extract_payload_text(
         return res
     set_deadline(budget_seconds)
     try:
+        # single-document gzip unwraps transparently (bounded) so
+        # page.html.gz / notes.txt.gz dispatch like their plain twins
+        payload = maybe_gunzip(payload)
         # format dispatch: an explicitly-declared kind (the pipeline's
         # `markup:` payload prefix) bypasses the sniff; otherwise markup is
         # detected by a conservative head probe (looks_like_markup — strict,
@@ -150,6 +154,16 @@ def extract_payload_text(
                 res.kind = kind
                 res.metrics["records_decoded"] = records
                 res.metrics["spans"] = spans
+        elif force_kind == "text" or (
+            force_kind is None and looks_like_text(payload)
+        ):
+            # LAST sniff in the chain: NUL-free strict-UTF-8 (or BOM) with
+            # a letter-ratio floor, so binary garbage still reaches the
+            # CFB magic error path below
+            res.kind = "text"
+            res.text, records, spans = extract_text_parts(payload)
+            res.metrics["records_decoded"] = records
+            res.metrics["spans"] = spans
         else:
             storage = cfb.CompoundFile(payload)  # raises the magic-number error
             if storage.has_stream("WordDocument"):

@@ -1,0 +1,87 @@
+"""Plain text / markdown payloads -> text, plus gzip payload unwrapping.
+
+The most common "document" in a real corpus is not a container format at
+all: a .txt/.md/.rst/source file, often shipped .gz-compressed. Two tiny
+kernels close that gap:
+
+- `extract_text_parts`: BOM-aware decode (UTF-8-sig / UTF-16 LE/BE) with
+  strict-UTF-8 then latin-1 fallback, newline normalization, and the
+  repo's trailing-newline trim. Markdown passes through verbatim (its
+  markup IS content — the training-data convention; the html leg exists
+  for rendered markup).
+- `looks_like_text`: conservative sniff, LAST in the dispatch chain —
+  only claims payloads whose head is NUL-free and decodes strictly as
+  UTF-8 (or carries a text BOM) with a minimum letter ratio, so binary
+  garbage keeps flowing to the CFB magic error path the hostile-input
+  contract depends on.
+- `maybe_gunzip`: single-document gzip (magic 1f 8b) transparently
+  unwrapped, size-capped, before dispatch — `page.html.gz` and
+  `notes.txt.gz` extract like their uncompressed twins. One level only
+  (a .gz inside a .gz is hostile, not a corpus).
+"""
+
+from __future__ import annotations
+
+import codecs
+import gzip
+import zlib
+
+__all__ = ["extract_text_parts", "looks_like_text", "maybe_gunzip"]
+
+_MAX_GUNZIP_BYTES = 256 << 20
+_MIN_LETTER_RATIO = 0.30
+
+
+def maybe_gunzip(payload: bytes) -> bytes:
+    """payload, gunzipped once if gzip-magic'd (bounded); the original
+    bytes on any decode failure (the CFB error path then reports)."""
+    if payload[:2] != b"\x1f\x8b":
+        return payload
+    try:
+        with gzip.GzipFile(fileobj=__import__("io").BytesIO(payload)) as gz:
+            data = gz.read(_MAX_GUNZIP_BYTES + 1)
+    except (OSError, EOFError, zlib.error):
+        return payload
+    if len(data) > _MAX_GUNZIP_BYTES:
+        raise ValueError(
+            f"gzip payload exceeds the decompressed cap ({_MAX_GUNZIP_BYTES} bytes)"
+        )
+    return data if data else payload
+
+
+def looks_like_text(payload: bytes) -> bool:
+    if not payload:
+        return False
+    if payload.startswith((codecs.BOM_UTF8, codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
+        return True
+    head = payload[:4096]
+    if b"\x00" in head:
+        return False
+    try:
+        decoded = head.decode("utf-8", "strict" if len(payload) <= 4096 else "ignore")
+    except UnicodeDecodeError:
+        return False
+    if not decoded:
+        return False
+    letters = sum(1 for ch in decoded if ch.isalpha() or ch in " \n\t")
+    return letters / len(decoded) >= _MIN_LETTER_RATIO
+
+
+def extract_text_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
+    """(text, lines_decoded, spans). Identity modulo encoding: BOM decode,
+    CRLF/CR -> LF, trailing newlines trimmed; spans tile per line."""
+    from .ooxml import _tiled_spans
+
+    if payload.startswith(codecs.BOM_UTF16_LE) or payload.startswith(
+        codecs.BOM_UTF16_BE
+    ):
+        text = payload.decode("utf-16")  # BOM selects the order
+    elif payload.startswith(codecs.BOM_UTF8):
+        text = payload.decode("utf-8-sig", "replace")
+    else:
+        try:
+            text = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            text = payload.decode("latin-1")
+    text = text.replace("\r\n", "\n").replace("\r", "\n").rstrip("\n")
+    return text, text.count("\n") + 1 if text else 0, _tiled_spans(text, "line")

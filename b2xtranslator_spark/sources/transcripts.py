@@ -97,6 +97,8 @@ def load_sample_corpus(samples_dir: str = SAMPLES_DIR) -> pd.DataFrame:
         ("synthetic.odp", build_odp_fixture()),
         ("synthetic.epub", build_epub_fixture()),
         ("synthetic.eml", build_eml_fixture()),
+        ("synthetic.md", build_text_fixture()),
+        ("synthetic.txt.gz", build_gzip_text_fixture()),
     ):
         _add(name, payload, normalize_text(expected) or "", False)
     return pd.DataFrame(rows)
@@ -302,6 +304,25 @@ def build_eml_fixture() -> tuple[bytes, str]:
         "plain body line"
     )
     return eml, expected
+
+
+def build_text_fixture() -> tuple[bytes, str]:
+    """Markdown/plain-text leg of the flagship corpus (formats/plaintext.py:
+    conservative last-in-chain sniff, identity extraction)."""
+    md = "# Synthetic Markdown\n\nPlain *text* fixture café.\n\n- item one\n"
+    return md.encode("utf-8"), (
+        "# Synthetic Markdown\n\nPlain *text* fixture café.\n\n- item one"
+    )
+
+
+def build_gzip_text_fixture() -> tuple[bytes, str]:
+    """Gzip-wrapped text: exercises the transparent payload gunzip."""
+    import gzip
+
+    return (
+        gzip.compress(b"gzipped synthetic notes line\n", mtime=0),
+        "gzipped synthetic notes line",
+    )
 
 
 def _skeleton(n_turns: int, doc_fraction: float, seed: int, n_samples: int) -> pd.DataFrame:
