@@ -735,25 +735,33 @@ def _q_extract_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(batches):
         import base64
-        from email.message import EmailMessage
 
         import pandas as pd
 
+        # hand-assembled RFC 2045 bytes (identical semantics to the
+        # stdlib generator, ~10x cheaper per row — the synthesis is bench
+        # scaffolding, not the kernel under test): RFC 2047 B-encoded
+        # subject, 76-col base64 body with the canonical trailing newline
+        subj_b64 = base64.b64encode("café — 東京 naïve".encode()).decode()
+        head = (
+            "From: alice@example.com\r\n"
+            "To: bob@example.com\r\n"
+            f"Subject: =?utf-8?b?{subj_b64}?=\r\n"
+            "Date: Mon, 02 Feb 2026 10:00:00 +0000\r\n"
+            "MIME-Version: 1.0\r\n"
+            'Content-Type: text/plain; charset="utf-8"\r\n'
+            "Content-Transfer-Encoding: base64\r\n\r\n"
+        ).encode()
         for pdf in batches:
             out = {"doc_id": [], "source": [], "payload_b64": []}
             for d, txt, src in zip(
                 pdf["doc_id"].values, pdf["text"].values, pdf["source"].values
             ):
-                msg = EmailMessage()
-                msg["From"] = "alice@example.com"
-                msg["To"] = "bob@example.com"
-                msg["Subject"] = "café — 東京 naïve"
-                msg["Date"] = "Mon, 02 Feb 2026 10:00:00 +0000"
-                msg.set_content(txt or "", charset="utf-8", cte="base64")
+                body = base64.encodebytes(((txt or "") + "\n").encode("utf-8"))
                 out["doc_id"].append(int(d))
                 out["source"].append(src)
                 out["payload_b64"].append(
-                    "b64cfb:" + base64.b64encode(msg.as_bytes()).decode()
+                    "b64cfb:" + base64.b64encode(head + body).decode()
                 )
             yield pd.DataFrame(out)
 
