@@ -106,6 +106,22 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scatter_small(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin a SMALL scan up to the session's parallelism; pass big
+    scans through untouched. The synthesized-payload extraction legs are
+    zero-shuffle pure maps, so their parallelism equals the input split
+    count — correct at corpus scale (a 100 TB table scans as thousands of
+    splits, where a blanket repartition would be a pointless full-corpus
+    shuffle) but serializing on a one-file bench table. The guard makes
+    the scatter a measured no-op at scale and a 1-Exchange scatter of
+    pre-synthesis rows (doc_id/text/source, never payloads) when the scan
+    is smaller than the core count."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _n_turns(sf_dir: str) -> int:
     if "0.001" in sf_dir:
         return 300
@@ -184,7 +200,7 @@ def _q_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the original text, whitespace collapsed, h1/p blocks newline-joined.
     Any extraction drift (a dropped block, an extra newline, un-decoded
     entity, non-ok status) breaks the value hash."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = _scatter_small(_table(spark, sf_dir, "documents"), spark)
     esc = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
@@ -243,7 +259,7 @@ def _q_extract_markup_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic, and the oracle states independently that exactly the
     content blocks survive. Any drift in the density accounting, the
     rendered-URL link mass, or the block fold breaks the value hash."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = _scatter_small(_table(spark, sf_dir, "documents"), spark)
     esc = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
@@ -294,7 +310,7 @@ def _q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips verbatim, so the expected extraction is the original text
     sans trailing newlines — any drift in group/control-word/escape
     handling breaks the value hash."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = _scatter_small(_table(spark, sf_dir, "documents"), spark)
     esc = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
@@ -349,7 +365,10 @@ def _q_extract_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the real zip + ElementTree path. Paragraph text round-trips
     verbatim, so the expected extraction is the original text sans
     trailing newlines."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def synth(batches):
         import base64
@@ -495,7 +514,10 @@ def _q_extract_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
     and extracted by the real zip + ElementTree path (formats/odf.py).
     Paragraph text round-trips verbatim, so the expected extraction is
     the lead plus the original text sans trailing newlines."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def body(txt: str) -> str:
         from xml.sax.saxutils import escape
@@ -517,7 +539,10 @@ def _q_extract_ods(spark: SparkSession, sf_dir: str) -> DataFrame:
     text round-trips verbatim (tabs inside a line stay inside the one
     cell), so the expected extraction is the sheet name line, the typed
     lead row, and the original text sans trailing newlines."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def body(txt: str) -> str:
         from xml.sax.saxutils import escape
@@ -548,7 +573,10 @@ def _q_extract_odp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering contract shared with the legacy PPT leg). Empty trailing
     lines of the slide text are preserved by the notes suffix, so the
     expected extraction is exactly text + newline + the notes line."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def body(txt: str) -> str:
         from xml.sax.saxutils import escape
@@ -579,7 +607,10 @@ def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text, chapter-joined by newlines — any drift in spine
     resolution, manifest filtering, entity decode, or the block fold
     breaks the value hash."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def synth(batches):
         import base64
@@ -661,7 +692,10 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercising the transparent gzip unwrap, the conservative text sniff,
     and the newline-normalizing decode in one leg. Expected extraction is
     the lead plus the CR-normalized text sans trailing newlines."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def synth(batches):
         import base64
@@ -712,7 +746,9 @@ def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash; compression is additionally reported rows-only via pytest."""
     from b2xtranslator_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     merges = bpe_train(docs, n_merges=200, max_word_types=50_000)
     enc = bpe_encode(docs, merges)
     rebuilt = F.trim(
@@ -731,7 +767,10 @@ def _q_extract_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     header lines plus the body sans trailing newlines — drift in header
     decode, CTE decode, charset handling, or part selection breaks the
     value hash."""
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _scatter_small(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
 
     def synth(batches):
         import base64
@@ -793,7 +832,7 @@ def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction is simply the original text (sans trailing newlines) — any
     parser drift in escapes, stream bounds, page walk or dispatch breaks
     the value hash."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = _scatter_small(_table(spark, sf_dir, "documents"), spark)
     # the shown string is a HEX string carrying the UTF-16BE bytes of the
     # text behind a FEFF BOM (the text-string convention, PDF 7.9.2.2; the
     # extractor's no-CMap decoder BOM-sniffs exactly this): full Unicode

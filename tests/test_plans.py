@@ -205,7 +205,14 @@ def test_markup_and_pdf_queries_have_no_premap_shuffle(spark):
         map_idx = plan.find("MapInPandas")
         assert map_idx >= 0, plan
         below = plan[map_idx:]
-        assert "Exchange" not in below, f"{name}: shuffle below the map\n{below}"
+        # the only Exchange allowed upstream of the map is the
+        # _scatter_small round-robin of pre-synthesis rows (restores
+        # parallelism on one-file bench tables; guarded no-op at scale)
+        for line in below.splitlines():
+            if "Exchange" in line:
+                assert "RoundRobinPartitioning" in line, (
+                    f"{name}: non-scatter shuffle below the map\n{line}"
+                )
         assert "Join" not in plan, f"{name} must be join-free"
 
 
@@ -244,10 +251,13 @@ def test_unigram_logprob_vocab_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_new_extraction_legs_have_zero_shuffle(spark):
-    """The rtf/docx oracle queries chain payload synthesis and extraction
-    as pure maps: scan -> (synthesize) -> mapInPandas, no Exchange before
-    the write — the same black-box-map shape as the flagship."""
+def test_new_extraction_legs_shuffle_only_prescatter(spark):
+    """The synthesized extraction legs chain payload synthesis and
+    extraction as pure maps. The ONLY allowed Exchange is the small-scan
+    round-robin scatter of pre-synthesis rows (doc_id/text/source) that
+    restores parallelism on one-file bench tables (_scatter_small — a
+    guarded no-op at corpus scale where splits abound). Synthesized
+    payloads must never shuffle: no hash/range Exchange anywhere."""
     import importlib.util
     from pathlib import Path
 
@@ -264,6 +274,13 @@ def test_new_extraction_legs_have_zero_shuffle(spark):
         "extract_odp_transcripts",
         "extract_epub_transcripts",
         "extract_eml_transcripts",
+        "extract_text_transcripts",
+        "extract_markup_transcripts",
+        "extract_pdf_transcripts",
     ):
         plan = _plan(em.queries()[name](spark, SF_DIR))
-        assert plan.count("Exchange") == 0, name
+        n_ex = plan.count("Exchange")
+        assert n_ex <= 1, (name, n_ex)
+        if n_ex:
+            assert "RoundRobinPartitioning" in plan, name
+            assert "hashpartitioning" not in plan.lower(), name
