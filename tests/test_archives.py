@@ -151,3 +151,34 @@ def test_mbox_rows_feed_eml_leg(spark, tmp_path):
     out = {r["turn_idx"]: r for r in run_extraction(transcripts).collect()}
     assert out[0]["status"] == "ok" and "Subject: one" in out[0]["text"]
     assert out[1]["status"] == "ok" and "body two" in out[1]["text"]
+
+
+def test_split_cores_mutation_soak():
+    """Seeded byte flips + truncations over mbox and gzip'd WARC buffers:
+    the split cores must never raise and never stall (they run inside
+    executor tasks at archive granularity — one hostile archive must cost
+    one row of salvage, not a task)."""
+    import time
+
+    import numpy as np
+
+    raw_warc = gzip.compress(
+        b"".join(
+            _warc_record(b"http://s%d.example/" % i, b"<p>soak</p>") for i in range(5)
+        )
+    )
+    rng = np.random.default_rng(9090)
+    for base, splitter in ((bytearray(MBOX * 10), split_mbox), (bytearray(raw_warc), split_warc)):
+        for k in range(150):
+            m = bytearray(base)
+            if k % 5 == 4:
+                m = m[: int(rng.integers(1, len(m)))]
+            else:
+                idx = rng.integers(0, len(m), size=int(rng.integers(1, 10)))
+                vals = rng.integers(0, 256, size=len(idx))
+                for i, v in zip(idx, vals):
+                    m[int(i)] = int(v)
+            t0 = time.perf_counter()
+            out = splitter(bytes(m))
+            assert time.perf_counter() - t0 < 10
+            assert isinstance(out, list)
