@@ -1572,6 +1572,23 @@ def _q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (rows-only: iterative LBFGS fit is not
+    SQL-expressible; behavior is pinned by pytest — planted spam
+    separates from prose): heuristic-label bootstrap, LR fit, corpus
+    scored with broadcast coefficients."""
+    from b2xtranslator_spark.operators.quality_model import (
+        heuristic_labels,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_quality_model(heuristic_labels(docs))
+    return score_quality(docs, model)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract every turn of a synthetic transcript table whose
     payloads are reference sample documents (SURVEY.md §7 minimum slice)."""
@@ -1685,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- no_oracle tail (binary decode / synthetic media / learned IVF;
         #    spec'd by the 206-pair fixture suite + pytest goldens) ---------
         "extract_transcripts": _q_extract,
+        "quality_model_scores": _q_quality_model,
         "extract_verify_join": _q_extract_verify,
         "extract_metrics_agg": _q_extract_metrics,
         "similarity_topk_ivf": _q_ann_ivf,

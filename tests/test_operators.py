@@ -1047,3 +1047,49 @@ def test_bpe_encode_plan_is_pure_map(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quality_model_separates_planted_spam(spark):
+    """CCNet-style learned filter: train LR on heuristic labels over a
+    mixed corpus; planted keyboard-mash/boilerplate spam must score below
+    planted prose, and held-out accuracy must beat chance decisively."""
+    import numpy as np
+
+    from b2xtranslator_spark.operators.quality_model import (
+        heuristic_labels,
+        score_quality,
+        train_quality_model,
+    )
+
+    rng = np.random.default_rng(7)
+    prose = (
+        "the committee reviewed the annual report and found that results "
+        "were consistent with expectations for the period under review"
+    )
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            words = prose.split()
+            rng.shuffle(words)
+            rows.append((i, " ".join(words)))
+        else:
+            junk = "".join(rng.choice(list("#$%@!&*0123456789xz")) for _ in range(140))
+            rows.append((i, (junk + " ") * 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = heuristic_labels(docs)
+    assert labeled.count() > 40  # both extremes represented
+    model = train_quality_model(labeled)
+    scored = {r["doc_id"]: r["quality_prob"] for r in score_quality(docs, model).collect()}
+    prose_scores = [scored[i] for i in range(0, 120, 2)]
+    junk_scores = [scored[i] for i in range(1, 120, 2)]
+    assert min(prose_scores) > max(junk_scores)
+
+
+def test_quality_features_are_zero_shuffle_per_branch(spark):
+    """The featurize stage is row-local: its plan may join the three maps
+    on doc_id but must contain no aggregate."""
+    from b2xtranslator_spark.operators.quality_model import quality_features
+
+    docs = spark.createDataFrame([(1, "plain words here")], "doc_id long, text string")
+    plan = quality_features(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
