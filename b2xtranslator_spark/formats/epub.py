@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import posixpath
 import zipfile
+from urllib.parse import unquote
 from xml.etree import ElementTree as ET
 
 from ..budget import check_deadline
@@ -88,6 +89,7 @@ def _spine_members(zf: zipfile.ZipFile) -> list[str]:
         href, mtype = entry
         if mtype and mtype not in _DOC_TYPES:
             continue
+        href = unquote(href)  # hrefs are URIs: "ch%201.xhtml" names "ch 1.xhtml"
         member = posixpath.normpath(posixpath.join(base, href)) if base else href
         if member in names:
             out.append(member)

@@ -58,9 +58,16 @@ def looks_like_text(payload: bytes) -> bool:
     if b"\x00" in head:
         return False
     try:
-        decoded = head.decode("utf-8", "strict" if len(payload) <= 4096 else "ignore")
-    except UnicodeDecodeError:
-        return False
+        decoded = head.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        # a 4096-byte window may cut a multibyte char at its edge; only
+        # an error in the last 3 bytes is that boundary artifact —
+        # anywhere earlier means genuinely non-UTF-8 bytes (stay strict:
+        # lossy decode here would let binary-ish files claim the sniff)
+        if len(payload) > 4096 and exc.start >= len(head) - 3:
+            decoded = head[: exc.start].decode("utf-8", "ignore")
+        else:
+            return False
     if not decoded:
         return False
     letters = sum(1 for ch in decoded if ch.isalpha() or ch in " \n\t")

@@ -141,3 +141,25 @@ def test_pipeline_epub_payload_end_to_end(spark):
     row = run_extraction(df).collect()[0]
     assert row["status"] == "ok"
     assert row["text"] == "pipe chapter one\npipe chapter two"
+
+
+def test_url_encoded_href_resolves():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0"><manifest>'
+        '<item id="c0" href="ch%200.xhtml" media-type="application/xhtml+xml"/>'
+        '</manifest><spine><itemref idref="c0"/></spine></package>'
+    )
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), "application/epub+zip", zipfile.ZIP_STORED
+        )
+        zf.writestr("META-INF/container.xml", _CONTAINER)
+        zf.writestr("OEBPS/content.opf", opf)
+        zf.writestr("OEBPS/ch 0.xhtml", "<html><body><p>spaced name</p></body></html>")
+    text, _, _ = extract_epub_parts(buf.getvalue())
+    assert text == "spaced name"

@@ -84,3 +84,14 @@ def test_binary_garbage_still_reaches_cfb_error_path():
     rng = np.random.default_rng(11)
     res = extract_payload_text(bytes(rng.integers(0, 256, size=700, dtype=np.uint8)))
     assert res.status in ("parse_error", "unsupported")
+
+
+def test_sniff_multibyte_boundary_and_binary_tail():
+    # a large payload whose 4096-byte window cuts a multibyte char must
+    # still sniff as text...
+    body = ("x" * 4095 + "é" + "tail text " * 500).encode("utf-8")
+    assert looks_like_text(body)
+    # ...but invalid bytes EARLIER in the window stay rejected even when
+    # the payload is large
+    junk = b"ab\xfe\xfdcd" + b"x" * 8000
+    assert not looks_like_text(junk)
