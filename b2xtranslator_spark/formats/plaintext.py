@@ -33,18 +33,39 @@ _MIN_LETTER_RATIO = 0.30
 
 
 def maybe_gunzip(payload: bytes) -> bytes:
-    """payload, gunzipped once if gzip-magic'd (bounded); the original
-    bytes on any decode failure (the CFB error path then reports)."""
-    if payload[:2] != b"\x1f\x8b":
-        return payload
-    try:
-        with gzip.GzipFile(fileobj=__import__("io").BytesIO(payload)) as gz:
-            data = gz.read(_MAX_GUNZIP_BYTES + 1)
-    except (OSError, EOFError, zlib.error):
+    """payload, decompressed once if wrapped in a stdlib-supported
+    compression container — gzip (1f 8b), bzip2 (BZh), or xz (FD 37 7A
+    58 5A 00) — bounded by the decompressed cap; the original bytes on
+    any decode failure (the CFB error path then reports). One level
+    only: a compressed file inside a compressed file is hostile, not a
+    corpus."""
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            with gzip.GzipFile(fileobj=__import__("io").BytesIO(payload)) as gz:
+                data = gz.read(_MAX_GUNZIP_BYTES + 1)
+        except (OSError, EOFError, zlib.error):
+            return payload
+    elif payload[:3] == b"BZh" and len(payload) > 10:
+        import bz2
+
+        dec = bz2.BZ2Decompressor()
+        try:
+            data = dec.decompress(payload, _MAX_GUNZIP_BYTES + 1)
+        except OSError:
+            return payload
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        dec = lzma.LZMADecompressor()
+        try:
+            data = dec.decompress(payload, _MAX_GUNZIP_BYTES + 1)
+        except lzma.LZMAError:
+            return payload
+    else:
         return payload
     if len(data) > _MAX_GUNZIP_BYTES:
         raise ValueError(
-            f"gzip payload exceeds the decompressed cap ({_MAX_GUNZIP_BYTES} bytes)"
+            f"compressed payload exceeds the decompressed cap ({_MAX_GUNZIP_BYTES} bytes)"
         )
     return data if data else payload
 

@@ -95,3 +95,18 @@ def test_sniff_multibyte_boundary_and_binary_tail():
     # the payload is large
     junk = b"ab\xfe\xfdcd" + b"x" * 8000
     assert not looks_like_text(junk)
+
+
+def test_bz2_and_xz_payloads_unwrap():
+    import bz2
+    import lzma
+
+    html = b"<html><body><p>bz2 page</p></body></html>"
+    res = extract_payload_text(bz2.compress(html))
+    assert res.status == "ok" and res.kind == "html" and res.text == "bz2 page"
+    res = extract_payload_text(lzma.compress("xz notes café\n".encode()))
+    assert res.status == "ok" and res.kind == "text" and res.text == "xz notes café"
+    # corrupt containers fall through to the error path, never raise
+    for bad in (b"BZh9" + b"\x00" * 40, b"\xfd7zXZ\x00" + b"\x00" * 40):
+        r = extract_payload_text(bad)
+        assert r.status in ("parse_error", "unsupported")
