@@ -165,6 +165,8 @@ def main() -> None:
         "extract_odt_transcripts",
         "extract_epub_transcripts",
         "extract_eml_transcripts",
+        "extract_text_transcripts",
+        "bpe_encode_roundtrip",
         "assemble_conversations",
         "turn_context_windows",
         "media_image_dhash_grid",
