@@ -1589,6 +1589,15 @@ def _q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(docs, model)
 
 
+
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card composed from the oracle-checked
+    per-document operators; the oracle restates the whole card in SQL."""
+    from b2xtranslator_spark.operators.textstats import corpus_report
+
+    return corpus_report(_table(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract every turn of a synthetic transcript table whose
     payloads are reference sample documents (SURVEY.md §7 minimum slice)."""
@@ -1684,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracle-paired ROTATED past the driver's 50-row window this
         #    round: each has r2+r3+r4 driver-green history and stays green
         #    in the committed local scoreboard
+        "corpus_data_card": _q_corpus_report,
         "text_token_count": _q_token_count,
         "text_language_id": _q_language_id,
         "text_quality_score": _q_quality,
@@ -2926,6 +2936,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id != 0
             ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        # one-row data card composed from the same per-doc formulations
+        # as the standalone oracles (quality composite, stopword langid
+        # argmax, normalized-md5 fingerprint)
+        "corpus_data_card": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       len({_sql_words()}) AS n_words,
+                       0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                              / greatest(length(text), 1))
+                     + 0.3 * (len(list_distinct(list_filter({_sql_words()},
+                                  x -> x IN ({stop_en})))) / 10.0)
+                     + 0.2 * least((length(text)
+                                    / greatest(len({_sql_words()}), 1)) / 10.0, 1.0)
+                     + 0.1 * (1.0 - least((length(regexp_replace(text,
+                                  '[^.,;:!?]', '', 'g'))
+                                           / greatest(length(text), 1)) * 10, 1.0))
+                         AS quality,
+                       md5({norm}) AS fp,
+                       {lang_hits['de']} AS h_de,
+                       {lang_hits['en']} AS h_en,
+                       {lang_hits['es']} AS h_es,
+                       {lang_hits['fr']} AS h_fr
+                FROM documents
+            ),
+            per AS (SELECT *, {lang_case} AS pred_lang FROM feats)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS total_tokens,
+                   round(avg(n_words), 6) AS mean_doc_tokens,
+                   round(avg(CASE WHEN pred_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+                       AS english_frac,
+                   round(count(DISTINCT fp) * 1.0 / count(*), 6)
+                       AS distinct_fp_ratio,
+                   round(avg(quality), 6) AS mean_quality
+            FROM per
         """,
         "text_token_count": f"""
             SELECT doc_id,

@@ -802,3 +802,31 @@ def source_mixture_weights(
             .alias("target_docs"),
         )
     )
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """ONE-row corpus data card — the summary block every dataset release
+    publishes (docs, token mass, mean length, English fraction, exact-dup
+    ratio, mean quality). Composed from the ORACLE-CHECKED per-document
+    operators (quality_score / language_id / fingerprint) so the card
+    can never drift from the metrics it summarizes; the three per-doc
+    frames are pure maps joined on doc_id, then ONE global aggregate
+    with map-side partials (the join shuffles are tiny fixed-width rows
+    and the report is an occasional job — the corpus scan dominates)."""
+    per = (
+        quality_score(documents)
+        .select("doc_id", "n_words", "quality")
+        .join(language_id(documents).select("doc_id", "pred_lang"), "doc_id")
+        .join(fingerprint(documents), "doc_id")
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.avg("n_words"), 6).alias("mean_doc_tokens"),
+        F.round(
+            F.avg((F.col("pred_lang") == "en").cast("double")), 6
+        ).alias("english_frac"),
+        F.round(F.count_distinct(F.col("fp")) / n, 6).alias("distinct_fp_ratio"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )

@@ -1093,3 +1093,22 @@ def test_quality_features_are_zero_shuffle_per_branch(spark):
     docs = spark.createDataFrame([(1, "plain words here")], "doc_id long, text string")
     plan = quality_features(docs)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in plan
+
+
+def test_corpus_report_card_values(spark):
+    from b2xtranslator_spark.operators.textstats import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the and is in to of hello world common text"),
+            (1, "the and is in to of hello world common text"),  # exact dup
+            (2, "der die und ist nicht das ein"),
+        ],
+        "doc_id long, text string",
+    )
+    row = corpus_report(docs).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 27
+    assert abs(row["distinct_fp_ratio"] - 2 / 3) < 1e-6
+    assert abs(row["english_frac"] - 2 / 3) < 1e-6
+    assert 0.0 < row["mean_quality"] < 1.0
