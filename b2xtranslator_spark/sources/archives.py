@@ -32,7 +32,7 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_mbox", "read_warc", "split_mbox", "split_warc"]
+__all__ = ["read_mbox", "read_tar", "read_warc", "read_zip", "split_mbox", "split_warc"]
 
 # per-archive and per-record caps, same philosophy as MAX_PAYLOAD_BYTES
 _MAX_ARCHIVE_BYTES = 1 << 30
@@ -228,3 +228,77 @@ def read_warc(
             "date string, content_type string, payload binary"
         ),
     )
+
+
+def _bundle_reader(split_fn, schema: str):
+    def reader(spark: SparkSession, path_glob: str, parallelism: int = 256) -> DataFrame:
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"archive": [], "member": [], "payload": []}
+                for p in pdf["path"].values:
+                    for name, data in split_fn(p):
+                        out["archive"].append(p)
+                        out["member"].append(name)
+                        out["payload"].append(data)
+                yield pd.DataFrame(out)
+
+        return _paths_df(spark, path_glob, parallelism).mapInPandas(gen, schema=schema)
+
+    return reader
+
+
+def _split_tar(path: str):
+    """One tar(.gz/.bz2/.xz) archive -> (member_name, bytes) for regular
+    files, size-capped per member and per archive; transparent
+    compression via tarfile's mode auto-detect."""
+    import tarfile
+
+    total = 0
+    try:
+        with tarfile.open(path, mode="r:*") as tf:
+            for info in tf:
+                if not info.isfile() or info.size > _MAX_RECORD_BYTES:
+                    continue
+                total += info.size
+                if total > _MAX_ARCHIVE_BYTES:
+                    break
+                f = tf.extractfile(info)
+                if f is None:
+                    continue
+                yield info.name, f.read(_MAX_RECORD_BYTES)
+    except (tarfile.TarError, OSError, EOFError, zlib.error):
+        return  # corrupt archive: emit what was salvaged before the error
+
+
+def _split_zip(path: str):
+    """One zip archive -> (member_name, bytes); per-member decompressed
+    cap, directories skipped."""
+    import zipfile
+
+    total = 0
+    try:
+        with zipfile.ZipFile(path) as zf:
+            for info in zf.infolist():
+                if info.is_dir() or info.file_size > _MAX_RECORD_BYTES:
+                    continue
+                total += info.file_size
+                if total > _MAX_ARCHIVE_BYTES:
+                    break
+                try:
+                    yield info.filename, zf.read(info)
+                except (zipfile.BadZipFile, OSError, zlib.error):
+                    continue  # one corrupt member must not kill the archive
+    except (zipfile.BadZipFile, OSError):
+        return
+
+
+#: DataFrame(archive, member, payload) — one row per regular file in a
+#: tar(.gz/.bz2/.xz) bundle; the dump-shaped twin of read_warc/read_mbox.
+read_tar = _bundle_reader(_split_tar, "archive string, member string, payload binary")
+
+#: DataFrame(archive, member, payload) — one row per member of a plain
+#: zip bundle (OOXML/ODF/EPUB zips are DOCUMENTS and belong to the
+#: payload kernel, not this reader).
+read_zip = _bundle_reader(_split_zip, "archive string, member string, payload binary")

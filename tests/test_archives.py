@@ -182,3 +182,83 @@ def test_split_cores_mutation_soak():
             out = splitter(bytes(m))
             assert time.perf_counter() - t0 < 10
             assert isinstance(out, list)
+
+
+def test_read_tar_bundle_to_extraction(spark, tmp_path):
+    """A .tar.gz dump of mixed documents -> rows -> the payload kernel."""
+    import base64
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from b2xtranslator_spark.pipeline import PAYLOAD_PREFIX, run_extraction
+    from b2xtranslator_spark.sources.archives import read_tar
+
+    p = tmp_path / "dump.tar.gz"
+    with tarfile.open(p, "w:gz") as tf:
+        for name, data in (
+            ("docs/a.md", b"# tar doc one\n"),
+            ("docs/b.html", b"<html><body><p>tar doc two</p></body></html>"),
+        ):
+            import io as _io
+
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    rows = read_tar(spark, str(tmp_path / "*.tar.gz")).collect()
+    assert sorted(r["member"] for r in rows) == ["docs/a.md", "docs/b.html"]
+    df = read_tar(spark, str(tmp_path / "*.tar.gz")).select(
+        F.col("member").alias("conv_id"),
+        F.lit(0).cast("long").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit(PAYLOAD_PREFIX), F.base64("payload")).alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    out = {r["conv_id"]: r for r in run_extraction(df).collect()}
+    assert out["docs/a.md"]["text"] == "# tar doc one"
+    assert out["docs/b.html"]["text"] == "tar doc two"
+
+
+def test_read_zip_bundle_skips_corrupt_member(spark, tmp_path):
+    import io
+    import zipfile
+
+    from b2xtranslator_spark.sources.archives import read_zip
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("good.txt", "fine text")
+        zf.writestr(
+            zipfile.ZipInfo("bad.txt"), "WILL-CORRUPT-ME", zipfile.ZIP_STORED
+        )
+    raw = bytearray(buf.getvalue())
+    # flip the stored member's content so its CRC check fails, leaving
+    # the central directory (and good.txt) intact
+    idx = raw.find(b"WILL-CORRUPT-ME")
+    raw[idx : idx + 4] = b"\x00\x00\x00\x00"
+    p = tmp_path / "b.zip"
+    p.write_bytes(bytes(raw))
+    rows = read_zip(spark, str(tmp_path / "*.zip")).collect()
+    names = {r["member"] for r in rows}
+    assert "good.txt" in names  # the archive survives its corrupt member
+
+
+def test_split_tar_corrupt_and_truncated_never_raise(tmp_path):
+    import tarfile
+
+    from b2xtranslator_spark.sources.archives import _split_tar
+
+    p = tmp_path / "t.tar"
+    with tarfile.open(p, "w") as tf:
+        import io as _io
+
+        info = tarfile.TarInfo("x.txt")
+        data = b"tar content " * 50
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    raw = p.read_bytes()
+    for variant in (raw[: len(raw) // 3], b"not a tar at all", b""):
+        q = tmp_path / "v.tar"
+        q.write_bytes(variant)
+        assert isinstance(list(_split_tar(str(q))), list)  # no raise
