@@ -1112,3 +1112,33 @@ def test_corpus_report_card_values(spark):
     assert abs(row["distinct_fp_ratio"] - 2 / 3) < 1e-6
     assert abs(row["english_frac"] - 2 / 3) < 1e-6
     assert 0.0 < row["mean_quality"] < 1.0
+
+
+def test_write_training_shards_deterministic_one_file_per_shard(spark, tmp_path):
+    import glob
+
+    from b2xtranslator_spark.operators.textstats import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src", "word " * 40) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    packed = pack_sequences(docs, budget_tokens=100)
+    out = str(tmp_path / "shards")
+    manifest = {r["shard"]: r for r in write_training_shards(packed, out, seqs_per_shard=4).collect()}
+    # closed-form shard membership: floor(seq_id / 4)
+    for r in spark.read.parquet(out).collect():
+        assert r["shard"] == r["seq_id"] // 4
+    # one ordered parquet file per shard dir
+    for shard in manifest:
+        files = glob.glob(f"{out}/shard={shard}/*.parquet")
+        assert len(files) == 1, (shard, files)
+    # manifest totals reconcile with the packed frame
+    assert sum(r["n_docs"] for r in manifest.values()) == 60
+    # re-running bit-reproduces the same membership
+    manifest2 = {r["shard"]: (r["n_seqs"], r["n_docs"]) for r in
+                 write_training_shards(packed, out, seqs_per_shard=4).collect()}
+    assert manifest2 == {k: (v["n_seqs"], v["n_docs"]) for k, v in manifest.items()}
