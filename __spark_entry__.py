@@ -1192,9 +1192,10 @@ def _q_media_thumbnails_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle twin for the frame-sampling SCHEDULE (the part of
-    sample_frames that is real distributed logic rather than the declared
-    video-decode stub): per-document video rows with arithmetic
+    """Oracle twin for the frame-sampling SCHEDULE (the distributed half
+    of sample_frames; the decode half is REAL for uncompressed AVI as of
+    round 5, stub with per-row provenance otherwise): per-document video
+    rows with arithmetic
     duration_ms explode into evenly spaced (frame_idx, ts_ms) rows,
     ts = (duration * fi) // n_frames. The oracle restates the schedule;
     the stub feature array is excluded."""
@@ -2402,7 +2403,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
                    fi AS frame_idx,
                    ((1000 + (doc_id * 37) % 9000) * fi) // 4 AS ts_ms,
-                   'ok' AS status
+                   -- these synthesized payloads are NOT AVI, so the real
+                   -- decoder declines and the row carries the honest
+                   -- stub-provenance status (round 5: uncompressed AVI
+                   -- decodes for real; everything else says so)
+                   'ok_stub' AS status
             FROM documents, (SELECT unnest(range(0, 4)) AS fi)
             WHERE doc_id < 100
         """,

@@ -4,14 +4,16 @@ Images/audio/video are carried as `binary` columns with a metadata struct.
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested.
 
-The IMAGE codec is REAL: PNG and BMP decode via the pure-stdlib codec in
-formats/imaging.py (zlib + NumPy un-filtering — no PIL needed), with
-arbitrary-size mean-pool resize. The AUDIO codec is REAL for PCM WAV
-(formats/audio.py: stdlib wave + NumPy features). Only VIDEO remains
-stubbed (no stdlib container/codec exists; this container has no pyav):
-non-decodable payloads fall back to `_decode_image_stub`, a deterministic
-fake that keeps the distributed path exercised; swap it for pyav in
-production — everything else is unchanged.
+The codecs are REAL wherever stdlib can honestly support one: PNG/BMP
+images (formats/imaging.py: zlib + NumPy un-filtering — no PIL), PCM
+WAV audio (formats/audio.py: stdlib wave + NumPy features), and
+uncompressed RIFF/AVI video (formats/video.py: struct chunk walk,
+BMP-layout frames). Only COMPRESSED video codecs remain stubbed (this
+container has no pyav): those payloads fall back to
+`_decode_image_stub`, a deterministic fake that keeps the distributed
+path exercised, and the row status says `ok_stub` so provenance is
+visible downstream; swap the fallback for pyav in production —
+everything else is unchanged.
 """
 
 from __future__ import annotations
@@ -243,13 +245,16 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame sampling for video rows: pick ``n_frames`` evenly spaced
     timestamps across duration_ms and emit one row per (media_id, frame).
 
-    A real implementation seeks/decodes each frame with pyav; the stub
-    derives a deterministic per-frame array from (payload, frame_idx) so the
-    EXPLODED row shape — the thing that matters for partitioning and
-    downstream embedding joins at scale — is real. Non-video rows pass
-    through as a single frame_idx=0 row."""
+    Uncompressed RIFF/AVI payloads decode for REAL (formats/video.py:
+    stdlib-only container walk, frames are BMP-layout pixel rows) — the
+    sampled timestamp maps to the nearest decoded frame. Compressed
+    codecs (no pyav in this environment) fall back to the deterministic
+    stub and say so in the row status; non-video rows pass through as a
+    single frame_idx=0 row."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..formats.video import decode_avi, is_avi
+
         for pdf in batches:
             out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "feature",
                                     "status")}
@@ -263,17 +268,35 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 # None — int(nan) would fail the whole task, breaking the
                 # row-level tolerance contract
                 dur = 0 if pd.isna(duration) else int(duration)
+                real_frames = None
+                status_ok = "ok"
+                if kind == "video" and is_avi(payload):
+                    try:
+                        real_frames, _fps, _dims = decode_avi(payload)
+                        status_ok = "ok"
+                    except Exception:
+                        real_frames = None  # compressed/corrupt: stub below
+                if real_frames is not None and dur == 0 and real_frames:
+                    dur = len(real_frames)  # frame-count timeline fallback
+                if kind == "video" and real_frames is None:
+                    status_ok = "ok_stub"  # honest per-row provenance
                 for fi in range(frames):
                     ts = (dur * fi) // max(1, frames)
                     try:
-                        img = _decode_image_stub(
-                            payload + struct.pack("<i", fi)
-                        )
+                        if real_frames:
+                            src = real_frames[
+                                min(len(real_frames) - 1,
+                                    (fi * len(real_frames)) // max(1, frames))
+                            ].astype(np.float32)
+                        else:
+                            src = _decode_image_stub(
+                                payload + struct.pack("<i", fi)
+                            )
                         feat = np.concatenate(
-                            [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+                            [src.mean(axis=(0, 1)), src.std(axis=(0, 1))]
                         ).astype(np.float32)
                         out["feature"].append([float(x) for x in feat])
-                        out["status"].append("ok")
+                        out["status"].append(status_ok)
                     except Exception as exc:  # row-level tolerance
                         out["feature"].append([])
                         out["status"].append(f"decode_error: {exc}")
