@@ -142,11 +142,13 @@ def run_media_features(media: DataFrame, num_partitions: int | None = None) -> D
 def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL encoded
     PNG/BMP payloads (alternating; pixels seeded from the row index),
-    audio rows carry REAL PCM WAV payloads (seeded sine + noise), video
-    rows carry opaque seeded bytes (no stdlib codec — they exercise the
-    stub fallback)."""
+    audio rows carry REAL PCM WAV payloads (seeded sine + noise), and
+    video rows alternate REAL uncompressed AVI (seeded frames through
+    formats/video.py) with opaque seeded bytes (the compressed-codec
+    stand-in exercising the stub fallback + ok_stub provenance)."""
     from ..formats.audio import encode_wav
     from ..formats.imaging import encode_bmp, encode_png
+    from ..formats.video import encode_avi
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -172,6 +174,15 @@ def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
             payload = encode_wav(samples, sample_rate=rate)
             mime = "audio/wav"
             w, h = 0, 0
+        elif (i // 3) % 2 == 0:
+            rng = np.random.RandomState(i)
+            vid = [
+                rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8)
+                for _ in range(3)
+            ]
+            payload = encode_avi(vid, fps=10.0)
+            mime = "video/x-msvideo"
+            w, h = 16, 12
         else:
             payload = hashlib.sha256(struct.pack("<i", i)).digest() * 4
             mime = "application/octet-stream"

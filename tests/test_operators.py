@@ -202,8 +202,15 @@ def test_multimodal_resize_and_frame_sampling(spark):
     vid = frames[frames.media_id == "m-00002"].sort_values("frame_idx")
     assert vid.frame_idx.tolist() == [0, 1, 2, 3]
     assert vid.ts_ms.is_monotonic_increasing
-    # frames differ (per-frame decode), deterministically
-    assert len({tuple(f) for f in vid.feature}) == 4
+    # m-00002 is a REAL 3-frame AVI: 4 sampled timestamps map to frames
+    # 0,0,1,2 (nearest-frame), so exactly 3 distinct features and all
+    # rows carry real-decode provenance
+    assert len({tuple(f) for f in vid.feature}) == 3
+    assert (vid.status == "ok").all()
+    # the opaque-payload video twin still flows through the stub path
+    stub_vid = frames[frames.media_id == "m-00005"]
+    assert (stub_vid.status == "ok_stub").all()
+    assert len({tuple(f) for f in stub_vid.feature}) == 4
     again = sample_frames(media, n_frames=4).toPandas()
     a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
