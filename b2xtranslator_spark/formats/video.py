@@ -43,15 +43,17 @@ def decode_avi(payload: bytes, max_frames: int = _MAX_FRAMES):
     compression = None
     frames: list[np.ndarray] = []
 
-    def walk(buf: bytes, pos: int, end: int) -> None:
+    def walk(buf: bytes, pos: int, end: int, depth: int = 0) -> None:
         nonlocal width, height, usec_per_frame, compression
+        if depth > 16:  # hostile LIST nesting: real AVIs are ~3 deep
+            return
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
             body = pos + 8
             body_end = min(body + size, end)
             if fourcc == b"LIST" and body + 4 <= end:
-                walk(buf, body + 4, body_end)
+                walk(buf, body + 4, body_end, depth + 1)
             elif fourcc == b"avih" and size >= 40:
                 usec_per_frame, = struct.unpack_from("<I", buf, body)
                 width, height = struct.unpack_from("<II", buf, body + 32)
