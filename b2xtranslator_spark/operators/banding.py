@@ -2,18 +2,27 @@
 
 The pigeonhole construction shared by text SimHash and image dHash dedup:
 slice a ``bits``-wide signature into ``bands`` disjoint bit ranges and
-equi-join on (band, slice) — any pair within ``bands - 1`` Hamming distance
-shares at least one identical band, so the candidate join has 100% recall
+group on (band, slice) — any pair within ``bands - 1`` Hamming distance
+shares at least one identical band, so the candidate set has 100% recall
 for ``max_hamming <= bands - 1``; an exact popcount(xor) filter verifies.
-The shuffle is O(rows x bands), skew-guarded, never all-pairs.
+
+Plan shape (optimization round 6): ONE pass over the signatures and ONE
+shuffle. The old shape was a self equi-join on (band, key), which executed
+the whole signature pipeline TWICE (Spark does not de-duplicate the two
+sides of a self-join) plus a window-count skew guard with its own shuffle —
+measured 12 Exchanges / double compute on the bench. Now each (band, key)
+bucket is grouped once (collect_list of (id, hash) rows), the skew cap is a
+size filter on the grouped bucket (same drop-oversized-bucket semantics as
+operators.skew.cap_bucket_size, no extra shuffle), and ordered candidate
+pairs are generated ROW-LOCALLY with a two-level explode — the outer
+explode walks left positions so per-row memory stays O(bucket), never
+O(bucket^2). The shuffle is O(rows x bands) collect rows, never pairs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .skew import cap_bucket_size
 
 
 def banded_hamming_pairs(
@@ -52,19 +61,44 @@ def banded_hamming_pairs(
     keyed = sig.select(
         id_col, hash_col, F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, hash_col, "bk.band", "bk.key")
-    keyed = cap_bucket_size(keyed, ["band", "key"], max_bucket_size)
+    # ONE shuffle: each (band, key) bucket grouped once; the size filter IS
+    # the skew cap (drop oversized buckets, same policy as skew.py); size-1
+    # buckets can emit no pair and are dropped with it.
+    grouped = (
+        keyed.groupBy("band", "key")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col(hash_col).alias("h")
+                )
+            ).alias("rs")
+        )
+        .where(F.size("rs").between(2, max_bucket_size))
+    )
+    # row-local ordered pair generation, memory-bounded: outer explode of
+    # left positions (one row per (bucket, left)), inner explode of the
+    # right-side slice — per-row state is O(bucket), never O(bucket^2)
+    lefts = grouped.select(
+        "rs", F.explode(F.sequence(F.lit(1), F.size("rs") - 1)).alias("p")
+    )
+    pairs = lefts.select(
+        F.element_at("rs", F.col("p")).alias("x"),
+        F.explode(
+            F.slice("rs", F.col("p") + 1, F.size("rs") - F.col("p"))
+        ).alias("y"),
+    )
     ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"
-    a = keyed.select(
-        F.col(id_col).alias(ca), F.col(hash_col).alias("ha"), "band", "key"
-    )
-    b = keyed.select(
-        F.col(id_col).alias(cb), F.col(hash_col).alias("hb"), "band", "key"
-    )
     return (
-        a.join(b, ["band", "key"])
-        .where(F.col(ca) < F.col(cb))
-        .dropDuplicates([ca, cb])
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        pairs.select(
+            F.least("x.i", "y.i").alias(ca),
+            F.greatest("x.i", "y.i").alias(cb),
+            # popcount(xor) is symmetric, so the (a, b) orientation never
+            # changes the verified distance
+            F.bit_count(F.col("x.h").bitwiseXOR(F.col("y.h"))).alias(
+                "hamming"
+            ),
+        )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates([ca, cb])
         .select(ca, cb, "hamming")
     )

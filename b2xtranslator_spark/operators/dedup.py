@@ -108,13 +108,18 @@ def minhash_lsh_candidates(
     """LSH banding: hash each band of the signature to a bucket; docs sharing
     any band bucket become a candidate pair (a < b).
 
+    Plan (optimization round 6): each (band, bucket) is grouped ONCE and
+    ordered pairs are generated row-locally with a two-level explode — the
+    old self equi-join executed the whole shingle+signature pipeline twice
+    (Spark does not de-duplicate self-join sides) plus a window-count skew
+    pass; now the signatures are computed once and shuffle once.
+
     ``max_bucket_size`` is the skew guard: a band bucket of n docs emits
     n^2/2 pairs, so one degenerate signature (empty/boilerplate text shared
     by thousands of docs) would otherwise go quadratic. Oversized buckets
-    are dropped before the self-join (operators.skew.cap_bucket_size) —
-    report them with operators.skew.bucket_skew_stats."""
-    from .skew import cap_bucket_size
-
+    are dropped by the size filter on the grouped bucket (same
+    drop-and-report semantics as operators.skew.cap_bucket_size) — report
+    them with operators.skew.bucket_skew_stats."""
     sig = minhash_signatures(documents, num_hashes, shingle_len)
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -129,21 +134,24 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    buckets = cap_bucket_size(buckets, ["band", "bucket"], max_bucket_size)
-    left = buckets.alias("a")
-    right = buckets.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids").between(2, max_bucket_size))
     )
+    # outer explode walks left positions so per-row memory stays O(bucket)
+    lefts = grouped.select(
+        "ids", F.explode(F.sequence(F.lit(1), F.size("ids") - 1)).alias("p")
+    )
+    pairs = lefts.select(
+        F.element_at("ids", F.col("p")).alias("x"),
+        F.explode(
+            F.slice("ids", F.col("p") + 1, F.size("ids") - F.col("p"))
+        ).alias("y"),
+    )
+    return pairs.select(
+        F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+    ).distinct()
 
 
 SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed 64-bit lane
@@ -164,25 +172,27 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     sign -> bit.
 
     One explode + one groupBy; the per-bit votes are computed map-side
-    (partial agg) inside Catalyst (no Python)."""
+    (partial agg) inside Catalyst (no Python). The whole
+    votes-plus-reconstruction expression is built as ONE parsed SQL string:
+    constructing 60 vote aggregates + 60 reconstruction terms through the
+    column API cost ~1 s of py4j round trips per query build (measured,
+    optimization round 6) for an identical integer-exact plan."""
     words = F.split(_norm_text(), " ")
     tok = documents.select("doc_id", F.explode(words).alias("w")).where(
         F.length("w") > 0
     )
-    h = _token_hash60(F.col("w"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    tok = tok.select("doc_id", _token_hash60(F.col("w")).alias("h"))
+    # per-bit vote: sum(+1 if bit set else -1); bit set in the final hash
+    # when the vote is positive — same expressions the column-API build
+    # produced, parsed server-side in one call
+    sim_sql = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 "
+        f"ELSE -1 END) > 0 THEN {1 << b}L ELSE 0L END)"
         for b in range(bits)
-    ]
-    voted = tok.groupBy("doc_id").agg(*votes)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim + F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return voted.select("doc_id", sim.alias("simhash"))
+    )
+    return tok.groupBy("doc_id").agg(
+        F.expr(f"CAST(0 AS BIGINT) + {sim_sql}").alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(

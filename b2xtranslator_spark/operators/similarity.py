@@ -186,61 +186,89 @@ def embedding_near_duplicates_lsh(
 ) -> DataFrame:
     """Near-duplicate pairs via banded sign-LSH candidates + exact-cosine
     verify. Same output contract as dedup.embedding_near_duplicates (the
-    exact cross-join spec), but the candidate shuffle is a bucket equi-join —
-    O(vecs x bands) rows — so the plan survives corpus scale where the
-    cross join cannot. Recall is tuned by (bands, planes_per_band); the
-    defaults give 100% recall at threshold 0.35 on the test corpus with a
-    4-band margin (empirically 0 misses from 16 bands up).
+    exact cross-join spec), but candidates come from per-(band, bucket)
+    grouping — O(vecs x bands) shuffle rows — so the plan survives corpus
+    scale where the cross join cannot. Recall is tuned by
+    (bands, planes_per_band); the defaults give 100% recall at threshold
+    0.35 on the test corpus with a 4-band margin (empirically 0 misses
+    from 16 bands up).
+
+    Plan (optimization round 6, guide §8 "decide with small rows, move big
+    rows once"): the band kernel emits ID-ONLY rows; each (band, bucket)
+    is grouped ONCE and ordered candidate pairs are generated row-locally
+    (two-level explode, per-row memory O(bucket)); pairs are de-duplicated
+    while still id-only (a pair surfaces from up to ``bands`` buckets, so
+    deduplicating AFTER attaching vectors shuffled the embedding payload
+    once per surfacing — measured 398k heavy rows vs 80k id pairs on the
+    bench); only then are embeddings + precomputed norms attached by join
+    for the exact-cosine verify. The old shape was a self equi-join that
+    executed the band kernel twice plus a window-count skew pass and
+    carried embeddings through every stage. The size filter on the grouped
+    bucket IS the skew cap (same drop-oversized-bucket semantics as
+    operators.skew.cap_bucket_size); report drops via bucket_skew_stats.
 
     ``max_bucket_size`` caps candidate generation per (band, bucket): a hot
     bucket of n rows emits n^2/2 pairs, so one degenerate signature (e.g.
     thousands of near-zero vectors sharing a sign pattern) would otherwise
-    dominate the job. Capped buckets lose their candidates — surface them
-    with bucket_skew_stats(lsh_band_buckets(...), ["band","bucket"], cap).
+    dominate the job.
 
-    ``carry_vectors=False`` shuffles id-only band rows (no bands-x vector
-    duplication) and re-joins embeddings for the verify stage — the
-    byte-economical plan for wide vectors (see lsh_band_buckets)."""
+    ``carry_vectors`` is retained for API compatibility; since the round-6
+    restructure both settings execute the same id-only plan (carrying the
+    vectors through the pair stages was strictly more shuffle bytes for
+    identical results)."""
     vecs = embeddings
     if max_vecs is not None:
         vecs = vecs.where(F.col("vec_id") < max_vecs)
-    bb = lsh_band_buckets(vecs, bands, planes_per_band, carry_embedding=carry_vectors)
-    bb = cap_bucket_size(bb, ["band", "bucket"], max_bucket_size)
-    if carry_vectors:
-        a = bb.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-            "band", "bucket",
+    bb = lsh_band_buckets(vecs, bands, planes_per_band, carry_embedding=False)
+    grouped = (
+        bb.groupBy("band", "bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .where(F.size("ids").between(2, max_bucket_size))
+    )
+    # outer explode walks left positions so per-row memory stays O(bucket)
+    lefts = grouped.select(
+        "ids",
+        F.explode(F.sequence(F.lit(1), F.size("ids") - 1)).alias("p"),
+    )
+    ids = (
+        lefts.select(
+            F.element_at("ids", F.col("p")).alias("x"),
+            F.explode(
+                F.slice("ids", F.col("p") + 1, F.size("ids") - F.col("p"))
+            ).alias("y"),
         )
-        b = bb.select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-            "band", "bucket",
+        .select(
+            F.least("x", "y").alias("vec_a"),
+            F.greatest("x", "y").alias("vec_b"),
         )
-        cand = (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .dropDuplicates(["vec_a", "vec_b"])
-        )
-    else:
-        a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-        b = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
-        ids = (
-            a.join(b, ["band", "bucket"])
-            .where(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .dropDuplicates(["vec_a", "vec_b"])
-        )
-        ea = vecs.select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-        )
-        eb = vecs.select(
-            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-        )
-        cand = ids.join(ea, "vec_a").join(eb, "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    # attach embeddings once per deduplicated pair; the norm is computed
+    # once per VECTOR here (same Catalyst expression as the old per-pair
+    # fold -> bit-identical values) because a vector lands in O(bucket)
+    # pairs and the interpreted higher-order fold per pair dominated the
+    # verify stage
+    sides = vecs.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    ea = sides.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = sides.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = ids.join(ea, "vec_a").join(eb, "vec_b")
     return (
         cand.withColumn(
             "cosine",
-            F.round(_dot(F.col("ea"), F.col("eb"))
-                    / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6),
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ),
         )
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -28,6 +28,10 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): measured A/B this
+        # round, coalescing tiny shuffles to the advisory byte size
+        # serialized the CPU-heavy per-pair verify stages (bytes are a bad
+        # proxy for compute there) — dedup_embedding_lsh 0.9 s -> 2.5 s
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # payloads are ~10KB-10MB each: Arrow batch size trades JVM<->Python

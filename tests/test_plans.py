@@ -107,9 +107,11 @@ def test_bucketed_tables_join_without_shuffle(spark, docs, tmp_path_factory):
 
 
 def test_embedding_lsh_has_no_cross_join(spark):
-    """The banded-LSH near-dup candidates must be an equi-join on
-    (band, bucket) — never a cartesian/nested-loop product, which is the
-    plan-shape difference that makes it survive corpus scale."""
+    """The banded-LSH near-dup candidates must come from per-(band, bucket)
+    grouping — never a cartesian/nested-loop product. Since the round-6
+    restructure the candidate stage is ONE groupBy + row-local pair
+    explode (no self-join at all): the band-bucketing kernel must appear
+    exactly once in the plan (the old self-join executed it twice)."""
     from b2xtranslator_spark.operators.similarity import (
         embedding_near_duplicates_lsh,
     )
@@ -118,7 +120,7 @@ def test_embedding_lsh_has_no_cross_join(spark):
     plan = _plan(embedding_near_duplicates_lsh(emb, max_vecs=100))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert plan.count("MapInPandas") == 1, "band kernel must run once"
 
 
 def test_simhash_votes_aggregate_partially(docs):
