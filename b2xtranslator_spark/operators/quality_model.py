@@ -48,20 +48,25 @@ FEATURES = [
 
 
 def quality_features(documents: DataFrame) -> DataFrame:
-    """doc_id + the numeric feature columns (row-local, zero shuffle):
-    the quality_score ratios joined with the Gopher repetition fractions
-    on doc_id — both pure maps over the same scan, so Catalyst collapses
-    the join to a single-stage zip when inputs share partitioning."""
-    q = quality_score(documents).select(
-        "doc_id", "alpha_ratio", "punct_ratio", "mean_word_len", "quality"
+    """doc_id + the numeric feature columns (row-local, zero shuffle).
+    Since optimization round 6 every feature comes from the shared
+    textstats.row_signals projection — ONE scan, one projection, no
+    doc_id joins (the old shape joined quality_score and
+    repetition_stats frames, scanning the corpus per signal group for
+    identical values)."""
+    from .textstats import row_signals
+
+    return row_signals(documents).select(
+        "doc_id",
+        "alpha_ratio",
+        "punct_ratio",
+        "mean_word_len",
+        "quality",
+        "dup_line_frac",
+        "top_word_frac",
+        "top_bigram_frac",
+        "log_n_chars",
     )
-    r = repetition_stats(documents).select(
-        "doc_id", "dup_line_frac", "top_word_frac", "top_bigram_frac"
-    )
-    n = documents.select(
-        "doc_id", F.log1p(F.length("text")).alias("log_n_chars")
-    )
-    return q.join(r, "doc_id").join(n, "doc_id")
 
 
 def heuristic_labels(documents: DataFrame) -> DataFrame:

@@ -527,6 +527,122 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     )
 
 
+def row_signals(documents: DataFrame) -> DataFrame:
+    """ALL row-local corpus signals in ONE projection over one scan —
+    the shared featurizer behind corpus_filter, corpus_report and the
+    learned quality model (VERDICT r05 "single-pass row signals").
+
+    Columns: doc_id, n_chars_m, n_words, alpha_ratio, punct_ratio,
+    mean_word_len, quality (the quality_score block), n_lines,
+    dup_line_frac, top_word_frac, top_bigram_frac (the repetition_stats
+    block), pred_lang, marker_hits (the language_id block), fp (the
+    content fingerprint) and log_n_chars — every value IDENTICAL to the
+    standalone operator's output (the expressions are the same; only the
+    doc_id joins between them are gone). Zero shuffle: consumers that need
+    cross-document state (the exact-dup keeper, the corpus aggregate) add
+    exactly one exchange of these small fixed-width rows instead of
+    re-scanning the corpus per signal."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    ws = _words()
+    n_tokens = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n_tokens - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n_tokens - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # stage every reused array ONCE (the bound-column discipline of
+    # repetition_stats: unbound sorts/filters re-evaluate per element)
+    staged = documents.select(
+        "doc_id",
+        "text",
+        ws.alias("_ws"),
+        lines.alias("_lines"),
+        n_tokens.alias("_n_tokens"),
+        F.array_sort(ws).alias("_sw"),
+        F.array_sort(bigrams).alias("_sb"),
+    )
+    staged = _with_rle_pairs(staged, "_sw", "_pw")
+    staged = _with_rle_pairs(staged, "_sb", "_pb")
+
+    words = F.col("_ws")
+    # quality_score block
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    punct_chars = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    en_stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    alpha_ratio = (alpha_chars / F.greatest(n_chars, F.lit(1))).cast("double")
+    punct_ratio = (punct_chars / F.greatest(n_chars, F.lit(1))).cast("double")
+    mean_word_len = (n_chars / F.greatest(n_words, F.lit(1))).cast("double")
+    stop_ratio = (en_stop_hits / F.lit(10.0)).cast("double")
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.2) * F.least(mean_word_len / F.lit(10.0), F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    ).cast("double")
+    # repetition_stats block
+    n_lines = F.size(F.col("_lines"))
+    dup_line_frac = F.when(
+        n_lines > F.lit(0),
+        F.lit(1.0) - F.size(F.array_distinct(F.col("_lines"))) / n_lines,
+    ).otherwise(F.lit(0.0)).cast("double")
+    denom = F.greatest(F.col("_n_tokens"), F.lit(1))
+
+    def _max_count(pairs_col):
+        return F.coalesce(
+            -F.array_min(
+                F.transform(F.col(pairs_col), lambda p: p["negc"])
+            ),
+            F.lit(0),
+        )
+
+    top_word_frac = (_max_count("_pw") / denom).cast("double")
+    top_bigram_frac = F.least(
+        (F.lit(2) * _max_count("_pb") / denom).cast("double"),
+        F.lit(1.0),
+    )
+    # language_id block
+    hits = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in wl])))
+        for lang, wl in STOPWORDS.items()
+    }
+    pairs = F.array(
+        *[F.struct(hits[lang].alias("hits"), F.lit(lang).alias("lang"))
+          for lang in sorted(STOPWORDS)]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return staged.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("int").alias("marker_hits"),
+        _content_md5().alias("fp"),
+        F.log1p(F.length("text")).alias("log_n_chars"),
+    )
+
+
 def corpus_filter(
     documents: DataFrame,
     min_quality: float = 0.5,
@@ -540,23 +656,20 @@ def corpus_filter(
     FIRST failed check in a fixed order: duplicate > lang > quality >
     dup_lines > bigram).
 
-    Plan shape: three pure-map operators column-joined on doc_id plus the
-    exact-dup keeper (one groupBy on the content hash). The doc_id joins
-    are co-partitioned after the first shuffle; at corpus scale this is
-    scan + 1 content-hash shuffle + doc_id-aligned joins — no operator
-    re-reads the corpus."""
-    q = quality_score(documents).select("doc_id", "quality")
-    r = repetition_stats(documents).select(
-        "doc_id", "dup_line_frac", "top_bigram_frac"
+    Plan shape (optimization round 6): ONE scan — all per-document signals
+    come from the shared row_signals projection — and ONE exchange (the
+    exact-dup keeper as a min-over-fp window, replacing the old
+    groupBy+join). The previous shape scanned the corpus once per signal
+    (5 parquet scans, 4 joins on the bench plan) for identical output."""
+    from pyspark.sql.window import Window
+
+    sig = row_signals(documents).select(
+        "doc_id", "quality", "dup_line_frac", "top_bigram_frac",
+        "pred_lang", "fp",
     )
-    lang = language_id(documents).select("doc_id", "pred_lang")
-    fp = documents.select("doc_id", _content_md5().alias("fp"))
-    keeper = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id"))
-    dup = fp.join(keeper, "fp").select(
-        "doc_id", (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_dup")
-    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    joined = sig.withColumn("is_dup", F.col("doc_id") != keeper)
     lang_arr = F.array(*[F.lit(x) for x in langs])
-    joined = q.join(r, "doc_id").join(lang, "doc_id").join(dup, "doc_id")
     reason = (
         F.when(F.col("is_dup"), F.lit("duplicate"))
         .when(~F.array_contains(lang_arr, F.col("pred_lang")), F.lit("lang"))
@@ -809,15 +922,13 @@ def corpus_report(documents: DataFrame) -> DataFrame:
     publishes (docs, token mass, mean length, English fraction, exact-dup
     ratio, mean quality). Composed from the ORACLE-CHECKED per-document
     operators (quality_score / language_id / fingerprint) so the card
-    can never drift from the metrics it summarizes; the three per-doc
-    frames are pure maps joined on doc_id, then ONE global aggregate
-    with map-side partials (the join shuffles are tiny fixed-width rows
-    and the report is an occasional job — the corpus scan dominates)."""
-    per = (
-        quality_score(documents)
-        .select("doc_id", "n_words", "quality")
-        .join(language_id(documents).select("doc_id", "pred_lang"), "doc_id")
-        .join(fingerprint(documents), "doc_id")
+    can never drift from the metrics it summarizes. Since optimization
+    round 6 the per-document signals come from the shared row_signals
+    projection — ONE corpus scan, zero joins — feeding ONE global
+    aggregate with map-side partials (the old shape joined three
+    per-signal frames on doc_id, re-scanning the corpus per signal)."""
+    per = row_signals(documents).select(
+        "doc_id", "n_words", "quality", "pred_lang", "fp"
     )
     n = F.count(F.lit(1))
     return per.agg(
