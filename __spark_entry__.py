@@ -107,19 +107,70 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _scatter_small(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Round-robin a SMALL scan up to the session's parallelism; pass big
-    scans through untouched. The synthesized-payload extraction legs are
-    zero-shuffle pure maps, so their parallelism equals the input split
-    count — correct at corpus scale (a 100 TB table scans as thousands of
-    splits, where a blanket repartition would be a pointless full-corpus
-    shuffle) but serializing on a one-file bench table. The guard makes
-    the scatter a measured no-op at scale and a 1-Exchange scatter of
-    pre-synthesis rows (doc_id/text/source, never payloads) when the scan
-    is smaller than the core count."""
-    n = spark.sparkContext.defaultParallelism
+    """Round-robin a SMALL scan up to the session's concurrent TASK SLOTS;
+    pass big scans through untouched. The synthesized-payload extraction
+    legs are zero-shuffle pure maps, so their parallelism equals the input
+    split count — correct at corpus scale (a 100 TB table scans as
+    thousands of splits, where a blanket repartition would be a pointless
+    full-corpus shuffle) but serializing on a one-file bench table. The
+    guard makes the scatter a measured no-op at scale and a 1-Exchange
+    scatter of pre-synthesis rows (doc_id/text/source, never payloads)
+    when the scan is smaller than the slot count.
+
+    Slot count = defaultParallelism / spark.task.cpus, NOT
+    defaultParallelism: with task.cpus=2 a 32-partition Python stage runs
+    as TWO waves of Arrow workers on 16 slots — measured 0.70 s vs 0.38 s
+    for the identical one-wave kernel (optimization round 6, guide §2.6
+    stragglers/idle capacity). Derived from the session conf, so any
+    cluster override keeps the scatter aligned."""
+    task_cpus = int(spark.conf.get("spark.task.cpus", "1") or "1")
+    n = max(1, spark.sparkContext.defaultParallelism // task_cpus)
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def _synth_extract(docs: DataFrame, synth_fn) -> DataFrame:
+    """Fuse payload synthesis and extraction into ONE mapInPandas stage.
+
+    The synthesized legs used to chain two Python evals (synth ->
+    JVM -> extract), so every payload string crossed the JVM<->Python
+    boundary twice and each task ran two Arrow workers (guide §4.1: you
+    control how many bytes cross the boundary). The fused kernel feeds the
+    synthesized transcript frames straight into the SAME
+    pipeline.extract_turns kernel (the product extraction code, unchanged)
+    in-process, and ships back only the three columns the leg returns
+    (doc_id, extracted, status) instead of the full extraction schema —
+    the payload now never crosses the boundary at all. Output values are
+    identical: same synthesis bytes, same kernel, same casts."""
+    from b2xtranslator_spark.pipeline import extract_turns
+
+    def fused(batches):
+        import pandas as pd
+
+        def transcript_frames():
+            for pdf in synth_fn(batches):
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pdf["source"].values,
+                        "turn_idx": pdf["doc_id"].to_numpy().astype("int32"),
+                        "text": pd.Series([None] * len(pdf), dtype=object),
+                        "tool": pdf["payload_b64"].values,
+                    }
+                )
+
+        for out in extract_turns(transcript_frames()):
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["turn_idx"].to_numpy().astype("int64"),
+                    "extracted": out["text"],
+                    "status": out["status"],
+                }
+            )
+
+    return docs.mapInPandas(
+        fused, schema="doc_id long, extracted string, status string"
+    )
 
 
 def _n_turns(sf_dir: str) -> int:
@@ -415,23 +466,7 @@ def _q_extract_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(
-        synth, schema="doc_id long, source string, payload_b64 string"
-    )
-    transcripts = payloads.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("role"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("payload_b64").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
-    out = run_extraction(transcripts)
-    return out.select(
-        F.col("turn_idx").cast("long").alias("doc_id"),
-        F.col("text").alias("extracted"),
-        "status",
-    )
+    return _synth_extract(docs, synth)
 
 
 _ODF_NS = (
@@ -487,23 +522,7 @@ def _odf_payload_synth(docs: DataFrame, which: str, body_fn) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(
-        synth, schema="doc_id long, source string, payload_b64 string"
-    )
-    transcripts = payloads.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("role"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("payload_b64").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
-    out = run_extraction(transcripts)
-    return out.select(
-        F.col("turn_idx").cast("long").alias("doc_id"),
-        F.col("text").alias("extracted"),
-        "status",
-    )
+    return _synth_extract(docs, synth)
 
 
 def _q_extract_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,23 +685,7 @@ def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(
-        synth, schema="doc_id long, source string, payload_b64 string"
-    )
-    transcripts = payloads.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("role"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("payload_b64").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
-    out = run_extraction(transcripts)
-    return out.select(
-        F.col("turn_idx").cast("long").alias("doc_id"),
-        F.col("text").alias("extracted"),
-        "status",
-    )
+    return _synth_extract(docs, synth)
 
 
 def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,23 +720,7 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(
-        synth, schema="doc_id long, source string, payload_b64 string"
-    )
-    transcripts = payloads.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("role"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("payload_b64").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
-    out = run_extraction(transcripts)
-    return out.select(
-        F.col("turn_idx").cast("long").alias("doc_id"),
-        F.col("text").alias("extracted"),
-        "status",
-    )
+    return _synth_extract(docs, synth)
 
 
 def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,23 +791,7 @@ def _q_extract_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    payloads = docs.mapInPandas(
-        synth, schema="doc_id long, source string, payload_b64 string"
-    )
-    transcripts = payloads.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("role"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("payload_b64").alias("tool"),
-        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
-    )
-    out = run_extraction(transcripts)
-    return out.select(
-        F.col("turn_idx").cast("long").alias("doc_id"),
-        F.col("text").alias("extracted"),
-        "status",
-    )
+    return _synth_extract(docs, synth)
 
 
 def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,35 @@ _MAX_DEPTH = 8
 _MAX_PARTS = 512
 
 
+class _MemoEmailPolicy(email.policy.EmailPolicy):
+    """policy.default with a memoized header_fetch_parse.
+
+    Structured header parsing (address lists, RFC 2047 decode through the
+    header registry) dominated the per-message extract cost (~70% of
+    1.3 ms/doc, profiled optimization round 6), and header VALUES repeat
+    massively across a mail archive (the same From/To/Content-Type lines
+    on thousands of messages). header_fetch_parse is a pure function of
+    (name, value) and returns immutable str-subclass objects, so a
+    bounded per-worker memo returns the identical object with identical
+    semantics on every input — a repeat costs a dict hit instead of a
+    registry parse."""
+
+    _cache: dict[tuple[str, str], object] = {}
+    _max_entries = 65536
+
+    def header_fetch_parse(self, name, value):  # noqa: D102 — see class doc
+        key = (name.lower(), value)
+        got = self._cache.get(key)
+        if got is None:
+            got = super().header_fetch_parse(name, value)
+            if len(self._cache) < self._max_entries:
+                self._cache[key] = got
+        return got
+
+
+_POLICY = _MemoEmailPolicy()
+
+
 def looks_like_eml(payload: bytes) -> bool:
     """Two header-shaped lines in the head, one of them a strong mail
     header (From/Received/Return-Path/Delivered-To)."""
@@ -139,7 +168,7 @@ def extract_eml_parts(
 ) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, parts_decoded, spans). Shown headers in fixed order, then
     the selected body parts; spans tile per line."""
-    msg = email.message_from_bytes(payload, policy=email.policy.default)
+    msg = email.message_from_bytes(payload, policy=_POLICY)
     lines: list[str] = []
     budget = [_MAX_PARTS]
     _walk(msg, lines, 0, budget, extract_urls)

@@ -87,12 +87,32 @@ def _hyperplane_sign(embedding_col, plane: int):
     return F.when(weighted >= 0, 1).otherwise(0)
 
 
+def _hyperplane_sign_sql(plane: int, col: str = "embedding") -> str:
+    """SQL-string twin of _hyperplane_sign — identical integer-weight
+    arithmetic, parsed server-side in one call (building the per-plane
+    zip_with/aggregate lambdas through the column API cost ~0.15 s of
+    py4j round trips per query, measured optimization round 6)."""
+    m1p = _M1 * plane
+    mxp = _MX * plane
+    return (
+        f"(CASE WHEN aggregate(zip_with({col}, sequence(0, size({col}) - 1), "
+        f"(x, d) -> CAST(x AS DOUBLE) * CAST((({m1p} + {_M2} * d + {mxp} * d "
+        f"+ {_C}) % {_MOD}) - {_HALF} AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
 def lsh_bucket(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Assign each vector its LSH bucket id (n_planes sign bits)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket * 2 + _hyperplane_sign(F.col("embedding"), p)
-    return embeddings.select("vec_id", bucket.alias("bucket"), "embedding")
+    # bucket = fold(bucket*2 + sign_p)  ==  sum_p sign_p * 2^(n-1-p);
+    # one parsed expression, same integer value
+    terms = " + ".join(
+        f"({1 << (n_planes - 1 - p)} * {_hyperplane_sign_sql(p)})"
+        for p in range(n_planes)
+    )
+    return embeddings.select(
+        "vec_id", F.expr(f"0 + {terms}").alias("bucket"), "embedding"
+    )
 
 
 def _plane_matrix(n_planes: int, dim: int):
