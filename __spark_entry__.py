@@ -753,7 +753,13 @@ def _q_extract_eml(spark: SparkSession, sf_dir: str) -> DataFrame:
     transport encoding). The expected extraction is the four shown
     header lines plus the body sans trailing newlines — drift in header
     decode, CTE decode, charset handling, or part selection breaks the
-    value hash."""
+    value hash.
+
+    CORPUS ASSUMPTION (ADVICE r05, documented like the old PDF leg's
+    ASCII note): the kernel normalizes CRLF/CR to LF while the oracle SQL
+    only rtrims LF, so the documents corpus must carry no bare CR —
+    true of the generated testdata; a CR-bearing corpus would need the
+    oracle's replace-chain extended first."""
     docs = _scatter_small(
         _table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
         spark,

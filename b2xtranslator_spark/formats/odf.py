@@ -114,13 +114,41 @@ class _Counter:
             check_deadline()
 
 
-def _para_text(el, counter: _Counter, extract_urls: bool, notes: list[str]) -> str:
+_MAX_INLINE_DEPTH = 64  # hostile deep span nesting: flatten, don't recurse
+
+
+def _flat_text(el) -> str:
+    """Iterative text+tail flatten of a too-deep inline subtree — the
+    depth-cap degradation path (ADVICE r05: a crafted >1000-deep span
+    chain must degrade to flat text, not RecursionError->parse_error).
+    The element's own tail is the caller's concern, matching the
+    recursive walk's contract."""
+    buf = [el.text or ""]
+    stack = [(c, False) for c in reversed(list(el))]
+    while stack:
+        node, done = stack.pop()
+        if done:
+            buf.append(node.tail or "")
+            continue
+        buf.append(node.text or "")
+        stack.append((node, True))
+        stack.extend((c, False) for c in reversed(list(node)))
+    return "".join(buf)
+
+
+def _para_text(
+    el, counter: _Counter, extract_urls: bool, notes: list[str], depth: int = 0
+) -> str:
     """Flatten one text:p / text:h: nested spans recursed, text:s ->
     spaces (text:c count), text:tab -> tab, text:line-break -> newline,
     text:a -> ``display (url)``, footnote/endnote bodies deferred to the
     notes list (doc-leg subdocument order), annotation and ruby-base-less
-    machinery skipped."""
+    machinery skipped. Nesting beyond _MAX_INLINE_DEPTH flattens the
+    remaining subtree instead of recursing (the repo's depth-cap
+    convention; see eml _MAX_DEPTH and the AVI LIST cap)."""
     counter.tick()
+    if depth >= _MAX_INLINE_DEPTH:
+        return _flat_text(el)
     buf: list[str] = [el.text or ""]
     for child in el:
         tag = child.tag
@@ -135,7 +163,7 @@ def _para_text(el, counter: _Counter, extract_urls: bool, notes: list[str]) -> s
         elif tag == f"{_TXT}line-break":
             buf.append("\n")
         elif tag == f"{_TXT}a":
-            display = _para_text(child, counter, extract_urls, notes)
+            display = _para_text(child, counter, extract_urls, notes, depth + 1)
             href = child.get(f"{_XLINK}href") or ""
             if extract_urls and href and not href.startswith("#"):
                 buf.append(f"{display} ({href})" if display else href)
@@ -146,14 +174,14 @@ def _para_text(el, counter: _Counter, extract_urls: bool, notes: list[str]) -> s
             if body is not None:
                 for p in body:
                     if p.tag in (f"{_TXT}p", f"{_TXT}h"):
-                        notes.append(_para_text(p, counter, extract_urls, notes))
+                        notes.append(_para_text(p, counter, extract_urls, notes, depth + 1))
         elif tag == f"{_OFF}annotation":
             for p in child.findall(f"{_TXT}p"):
-                notes.append(_para_text(p, counter, extract_urls, notes))
+                notes.append(_para_text(p, counter, extract_urls, notes, depth + 1))
         elif tag in (f"{_TXT}tracked-changes", f"{_TXT}soft-page-break"):
             pass  # deletions live here (not inline); page breaks are layout
         else:  # text:span and any other inline container: recurse
-            buf.append(_para_text(child, counter, extract_urls, notes))
+            buf.append(_para_text(child, counter, extract_urls, notes, depth + 1))
         buf.append(child.tail or "")
     return "".join(buf)
 

@@ -118,25 +118,29 @@ def _docx_paragraph(p, rels: dict[str, str], extract_urls: bool) -> str:
 
     def run_text(container) -> str:
         buf: list[str] = []
-
-        def walk(node) -> None:
-            for child in node:
-                tag = child.tag
-                if tag == f"{_MC}Fallback":
-                    # mc:AlternateContent carries the same drawing/textbox
-                    # in mc:Choice AND mc:Fallback — emitting both would
-                    # duplicate the text; keep the Choice leg only
-                    continue
-                if tag == f"{_W}t":
-                    buf.append(child.text or "")
-                elif tag == f"{_W}tab":
-                    buf.append("\t")
-                elif tag in (f"{_W}br", f"{_W}cr"):
-                    buf.append("\n")
-                else:
-                    walk(child)
-
-        walk(container)
+        # iterative DFS with an explicit stack (ADVICE r05: a crafted
+        # deeply-nested run container must flatten, never RecursionError);
+        # identical visit order and emissions to the recursive walk
+        stack = [iter(container)]
+        while stack:
+            child = next(stack[-1], None)
+            if child is None:
+                stack.pop()
+                continue
+            tag = child.tag
+            if tag == f"{_MC}Fallback":
+                # mc:AlternateContent carries the same drawing/textbox
+                # in mc:Choice AND mc:Fallback — emitting both would
+                # duplicate the text; keep the Choice leg only
+                continue
+            if tag == f"{_W}t":
+                buf.append(child.text or "")
+            elif tag == f"{_W}tab":
+                buf.append("\t")
+            elif tag in (f"{_W}br", f"{_W}cr"):
+                buf.append("\n")
+            else:
+                stack.append(iter(child))
         return "".join(buf)
 
     for child in p:

@@ -103,7 +103,11 @@ def extract_text_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, i
     if payload.startswith(codecs.BOM_UTF16_LE) or payload.startswith(
         codecs.BOM_UTF16_BE
     ):
-        text = payload.decode("utf-16")  # BOM selects the order
+        # BOM selects the order; 'replace' matches the UTF-8-sig branch
+        # (ADVICE r05: a truncated/odd-length UTF-16 payload that claimed
+        # the sniff must degrade to replacement chars, not raise into the
+        # parse_error path — the module's never-raise convention)
+        text = payload.decode("utf-16", "replace")
     elif payload.startswith(codecs.BOM_UTF8):
         text = payload.decode("utf-8-sig", "replace")
     else:

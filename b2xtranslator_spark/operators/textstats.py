@@ -951,7 +951,7 @@ def write_training_shards(
     data loader streams. Shard assignment is CLOSED-FORM
     (floor(seq_id / seqs_per_shard)), not sampled, so re-running the job
     bit-reproduces the same shard membership; rows are colocated by one
-    hash repartition on the shard id and sorted (seq_id, doc_id) within,
+    hash repartition on the shard id and sorted (source, seq_id) within,
     so each shard directory holds exactly one ordered parquet file.
     Returns the shard manifest (shard, n_seqs, n_docs, n_tokens) — the
     index a loader reads instead of listing files."""

@@ -74,23 +74,29 @@ def split_mbox(data: bytes) -> list[bytes]:
 def _gunzip_members(data: bytes) -> bytes:
     """Concatenated-gzip decode (the Common Crawl per-record layout):
     stdlib gzip handles multi-member transparently; corrupt tails keep
-    the decoded prefix."""
-    try:
-        return gzip.decompress(data)
-    except (OSError, EOFError, zlib.error):
-        # salvage: decode member-by-member until the first corrupt one
-        out = bytearray()
-        buf = io.BytesIO(data)
-        while True:
-            try:
-                with gzip.GzipFile(fileobj=buf) as gz:
-                    chunk = gz.read(_MAX_RECORD_BYTES)
-            except (OSError, EOFError, zlib.error):
-                break
-            if not chunk:
-                break
-            out += chunk
-        return bytes(out)
+    the decoded prefix. Decompression is STREAMED with a running total
+    capped at _MAX_ARCHIVE_BYTES (ADVICE r05): a gzip bomb under the
+    archive read cap can expand ~1000x, and one unbounded
+    gzip.decompress would OOM an executor — the cap truncates instead,
+    matching every other bounded decompression path in the repo."""
+    out = bytearray()
+    buf = io.BytesIO(data)
+    while len(out) <= _MAX_ARCHIVE_BYTES:
+        try:
+            with gzip.GzipFile(fileobj=buf) as gz:
+                while True:
+                    chunk = gz.read(1 << 20)
+                    if not chunk:
+                        break
+                    out += chunk
+                    if len(out) > _MAX_ARCHIVE_BYTES:
+                        return bytes(out[:_MAX_ARCHIVE_BYTES])
+        except (OSError, EOFError, zlib.error):
+            # corrupt member: keep the decoded prefix (salvage semantics)
+            break
+        if buf.tell() >= len(data):
+            break
+    return bytes(out)
 
 
 def split_warc(data: bytes) -> list[dict]:

@@ -262,3 +262,20 @@ def test_split_tar_corrupt_and_truncated_never_raise(tmp_path):
         q = tmp_path / "v.tar"
         q.write_bytes(variant)
         assert isinstance(list(_split_tar(str(q))), list)  # no raise
+
+
+def test_warc_gzip_bomb_is_capped():
+    """ADVICE r05: _gunzip_members streams with a running total capped at
+    _MAX_ARCHIVE_BYTES instead of one unbounded gzip.decompress."""
+    import gzip as _gzip
+
+    from b2xtranslator_spark.sources import archives
+
+    old = archives._MAX_ARCHIVE_BYTES
+    archives._MAX_ARCHIVE_BYTES = 1 << 20
+    try:
+        bomb = _gzip.compress(b"\x00" * (8 << 20))
+        out = archives._gunzip_members(bomb)
+        assert len(out) <= 1 << 20
+    finally:
+        archives._MAX_ARCHIVE_BYTES = old

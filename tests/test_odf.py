@@ -237,3 +237,13 @@ def test_pipeline_odf_payload_end_to_end(spark):
     assert out["c0"]["status"] == "ok" and out["c0"]["text"] == "pipe odt"
     assert out["c1"]["status"] == "ok" and "pipe ods" in out["c1"]["text"]
     assert out["c2"]["status"] == "ok" and out["c2"]["text"] == "pipe odp"
+
+
+def test_deeply_nested_spans_flatten_instead_of_recursion_error():
+    """ADVICE r05: >_MAX_INLINE_DEPTH nested text:span must degrade to a
+    flat-text walk of the subtree, not RecursionError -> parse_error."""
+    deep = "<text:span>" * 3000 + "deep" + "</text:span>" * 3000
+    payload = make_odf("odt", f"<text:p>lead {deep} tail</text:p>")
+    res = extract_payload_text(payload)
+    assert res.status == "ok", res.error
+    assert "deep" in res.text and "lead" in res.text and "tail" in res.text

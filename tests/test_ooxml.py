@@ -543,3 +543,29 @@ def test_xlsx_phonetic_runs_not_duplicated():
     )
     text, _, _ = extract_xlsx_parts(payload)
     assert text == "S\n東京\t大阪\t京都"
+
+
+def test_deeply_nested_runs_flatten_instead_of_recursion_error():
+    """ADVICE r05: the docx run walk is an explicit-stack DFS, so a
+    crafted deeply-nested run container extracts instead of raising."""
+    import io
+    import zipfile
+
+    from b2xtranslator_spark.extractors import extract_payload_text
+
+    w_ns = (
+        'xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"'
+    )
+    deep = "<w:r>" * 3000 + "<w:t>deep</w:t>" + "</w:r>" * 3000
+    doc_xml = (
+        f'<?xml version="1.0"?><w:document {w_ns}>'
+        f"<w:body><w:p>{deep}</w:p></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc_xml)
+    res = extract_payload_text(buf.getvalue())
+    assert res.status == "ok", res.error
+    assert res.text == "deep"

@@ -110,3 +110,16 @@ def test_bz2_and_xz_payloads_unwrap():
     for bad in (b"BZh9" + b"\x00" * 40, b"\xfd7zXZ\x00" + b"\x00" * 40):
         r = extract_payload_text(bad)
         assert r.status in ("parse_error", "unsupported")
+
+
+def test_truncated_utf16_payload_degrades_to_replacement():
+    """ADVICE r05: an odd-length UTF-16 payload that claims the BOM sniff
+    must extract with replacement chars, not raise into parse_error."""
+    import codecs
+
+    from b2xtranslator_spark.extractors import extract_payload_text
+
+    payload = codecs.BOM_UTF16_LE + "hello".encode("utf-16-le") + b"\x41"
+    res = extract_payload_text(payload)
+    assert res.status == "ok", res.error
+    assert res.text.startswith("hello")
