@@ -126,28 +126,56 @@ def extract_payload_text(
             res.metrics["records_decoded"] = records
             res.metrics["spans"] = spans
         elif looks_like_ooxml(payload):
-            kind = ooxml_kind(payload) or odf_kind(payload) or epub_kind(payload)
-            if kind == "docx":
-                res.text, records, spans = extract_docx_parts(
-                    payload, extract_urls=extract_urls
-                )
-            elif kind == "xlsx":
-                res.text, records, spans = extract_xlsx_parts(payload)
-            elif kind == "pptx":
-                res.text, records, spans = extract_pptx_parts(payload)
-            elif kind == "odt":
-                res.text, records, spans = extract_odt_parts(
-                    payload, extract_urls=extract_urls
-                )
-            elif kind == "ods":
-                res.text, records, spans = extract_ods_parts(payload)
-            elif kind == "odp":
-                res.text, records, spans = extract_odp_parts(payload)
-            elif kind == "epub":
-                res.text, records, spans = extract_epub_parts(
-                    payload, extract_urls=extract_urls
-                )
-            else:
+            # open the container ONCE and share it across the kind sniffs
+            # and the extractor: the central directory was re-parsed up to
+            # 4x per document before (guide §1.2 per-task work). A corrupt
+            # zip keeps the exact pre-refactor semantics: every sniff
+            # returns None, so the row is "unsupported" with the same
+            # message.
+            import io as _io
+            import zipfile as _zipfile
+
+            try:
+                zf = _zipfile.ZipFile(_io.BytesIO(payload))
+            except (_zipfile.BadZipFile, OSError, ValueError):
+                zf = None
+            kind = None
+            if zf is not None:
+                with zf:
+                    kind = (
+                        ooxml_kind(payload, zf=zf)
+                        or odf_kind(payload, zf=zf)
+                        or epub_kind(payload, zf=zf)
+                    )
+                    if kind == "docx":
+                        res.text, records, spans = extract_docx_parts(
+                            payload, extract_urls=extract_urls, zf=zf
+                        )
+                    elif kind == "xlsx":
+                        res.text, records, spans = extract_xlsx_parts(
+                            payload, zf=zf
+                        )
+                    elif kind == "pptx":
+                        res.text, records, spans = extract_pptx_parts(
+                            payload, zf=zf
+                        )
+                    elif kind == "odt":
+                        res.text, records, spans = extract_odt_parts(
+                            payload, extract_urls=extract_urls, zf=zf
+                        )
+                    elif kind == "ods":
+                        res.text, records, spans = extract_ods_parts(
+                            payload, zf=zf
+                        )
+                    elif kind == "odp":
+                        res.text, records, spans = extract_odp_parts(
+                            payload, zf=zf
+                        )
+                    elif kind == "epub":
+                        res.text, records, spans = extract_epub_parts(
+                            payload, extract_urls=extract_urls, zf=zf
+                        )
+            if kind is None:
                 res.status = "unsupported"
                 res.error = "zip container without a recognized OOXML/ODF part"
             if res.status == "ok":

@@ -42,17 +42,20 @@ _DOC_TYPES = ("application/xhtml+xml", "text/html", "application/x-dtbook+xml")
 _MAX_CHAPTERS = 2048
 
 
-def epub_kind(payload: bytes) -> str | None:
-    """'epub' | None — mimetype member, container.xml fallback."""
+def epub_kind(payload: bytes, zf: zipfile.ZipFile | None = None) -> str | None:
+    """'epub' | None — mimetype member, container.xml fallback.
+    ``zf`` shares one opened container across dispatch (see ooxml_kind)."""
     try:
-        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            names = set(zf.namelist())
-            if "mimetype" in names:
-                mime = _read_member(zf, "mimetype")
-                if (mime or b"").strip() == b"application/epub+zip":
-                    return "epub"
-            if "META-INF/container.xml" in names:
+        if zf is None:
+            with zipfile.ZipFile(io.BytesIO(payload)) as z:
+                return epub_kind(payload, zf=z)
+        names = set(zf.namelist())
+        if "mimetype" in names:
+            mime = _read_member(zf, "mimetype")
+            if (mime or b"").strip() == b"application/epub+zip":
                 return "epub"
+        if "META-INF/container.xml" in names:
+            return "epub"
     except (zipfile.BadZipFile, OSError, ValueError):
         return None
     return None
@@ -99,14 +102,18 @@ def _spine_members(zf: zipfile.ZipFile) -> list[str]:
 
 
 def extract_epub_parts(
-    payload: bytes, extract_urls: bool = True
+    payload: bytes, extract_urls: bool = True,
+    zf: zipfile.ZipFile | None = None,
 ) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, elements_decoded, spans). Chapters in spine order, each
     through the real markup fold, newline-joined; spans tile per line
     (part 'block', the markup leg's unit)."""
+    if zf is None:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return extract_epub_parts(payload, extract_urls, zf=z)
     chapters: list[str] = []
     elements = 0
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    if True:
         members = _spine_members(zf)
         if not members:
             members = [

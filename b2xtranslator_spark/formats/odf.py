@@ -60,19 +60,22 @@ _BODY_KIND = {f"{_OFF}text": "odt", f"{_OFF}spreadsheet": "ods", f"{_OFF}present
 _MAX_REPEAT = 1024
 
 
-def odf_kind(payload: bytes) -> str | None:
-    """odt | ods | odp | None — by mimetype member, content.xml fallback."""
+def odf_kind(payload: bytes, zf: zipfile.ZipFile | None = None) -> str | None:
+    """odt | ods | odp | None — by mimetype member, content.xml fallback.
+    ``zf`` shares one opened container across dispatch (see ooxml_kind)."""
     try:
-        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-            names = set(zf.namelist())
-            if "mimetype" in names:
-                mime = _read_member(zf, "mimetype")
-                kind = _MIME_KIND.get((mime or b"").strip())
-                if kind:
-                    return kind
-            if "content.xml" not in names:
-                return None
-            root = _parse_xml(_read_member(zf, "content.xml") or b"")
+        if zf is None:
+            with zipfile.ZipFile(io.BytesIO(payload)) as z:
+                return odf_kind(payload, zf=z)
+        names = set(zf.namelist())
+        if "mimetype" in names:
+            mime = _read_member(zf, "mimetype")
+            kind = _MIME_KIND.get((mime or b"").strip())
+            if kind:
+                return kind
+        if "content.xml" not in names:
+            return None
+        root = _parse_xml(_read_member(zf, "content.xml") or b"")
     except (zipfile.BadZipFile, OSError, ValueError):
         return None
     if root is None:
@@ -87,9 +90,12 @@ def odf_kind(payload: bytes) -> str | None:
     return None
 
 
-def _odf_body(payload: bytes, which: str):
+def _odf_body(payload: bytes, which: str, zf: zipfile.ZipFile | None = None):
     """content.xml office:body/office:<which>, or None on any corruption."""
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    if zf is None:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            data = _read_member(z, "content.xml")
+    else:
         data = _read_member(zf, "content.xml")
     if not data:
         return None
@@ -217,12 +223,13 @@ def _walk_blocks(
 
 
 def extract_odt_parts(
-    payload: bytes, extract_urls: bool = True
+    payload: bytes, extract_urls: bool = True,
+    zf: "zipfile.ZipFile | None" = None,
 ) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, elements_decoded, spans). Paragraphs/headings -> newlines,
     tables -> tab-joined rows, footnote/endnote/annotation bodies appended
     after the body (the legacy doc-leg subdocument order)."""
-    body = _odf_body(payload, "text")
+    body = _odf_body(payload, "text", zf)
     if body is None:
         return "", 0, []
     counter = _Counter()
@@ -263,12 +270,14 @@ def _cell_text(cell, counter: _Counter, notes: list[str]) -> str:
     return "\n".join(paras)
 
 
-def extract_ods_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
+def extract_ods_parts(
+    payload: bytes, zf: "zipfile.ZipFile | None" = None
+) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, cells_decoded, spans). Sheets in document order, each as its
     name line followed by rows of tab-joined cell values (the xls-leg
     conventions); repeated cells/rows honored up to the cap with trailing
     empties trimmed."""
-    body = _odf_body(payload, "spreadsheet")
+    body = _odf_body(payload, "spreadsheet", zf)
     if body is None:
         return "", 0, []
     counter = _Counter()
@@ -310,12 +319,14 @@ def extract_ods_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, in
     return text, cells_decoded, _tiled_spans(text, "row")
 
 
-def extract_odp_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
+def extract_odp_parts(
+    payload: bytes, zf: "zipfile.ZipFile | None" = None
+) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, paragraphs_decoded, spans). draw:page order; per page the
     frames' text boxes in document order, then that page's presenter
     notes (the legacy PPT leg extracts notes too,
     PowerpointDocument.cs:398-412)."""
-    body = _odf_body(payload, "presentation")
+    body = _odf_body(payload, "presentation", zf)
     if body is None:
         return "", 0, []
     counter = _Counter()

@@ -76,10 +76,16 @@ def _parse_xml(data: bytes) -> ET.Element | None:
         return None
 
 
-def ooxml_kind(payload: bytes) -> str | None:
-    """docx | xlsx | pptx | None — by marker part, not by extension."""
+def ooxml_kind(payload: bytes, zf: zipfile.ZipFile | None = None) -> str | None:
+    """docx | xlsx | pptx | None — by marker part, not by extension.
+    ``zf`` lets the dispatcher share ONE opened container across the
+    kind sniffs and the extractor (the central directory was re-parsed
+    up to 4x per document before; optimization round 6)."""
     try:
-        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        if zf is None:
+            with zipfile.ZipFile(io.BytesIO(payload)) as z:
+                names = set(z.namelist())
+        else:
             names = set(zf.namelist())
     except (zipfile.BadZipFile, OSError, ValueError):
         return None
@@ -175,15 +181,19 @@ def _docx_paragraph(p, rels: dict[str, str], extract_urls: bool) -> str:
 
 
 def extract_docx_parts(
-    payload: bytes, extract_urls: bool = True
+    payload: bytes, extract_urls: bool = True,
+    zf: zipfile.ZipFile | None = None,
 ) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, elements_decoded, spans). Body paragraphs -> newlines;
     tables: cells tab-joined, rows newline-delimited (the legacy doc-leg
     conventions). Spans tile the text, one ("p", start, end) per line."""
+    if zf is None:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return extract_docx_parts(payload, extract_urls, zf=z)
     lines: list[tuple[str, str]] = []  # (part, line)
     elements = 0
 
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    if True:
         rels = _docx_rels(zf)
         data = _read_member(zf, "word/document.xml")
         if not data:
@@ -293,11 +303,16 @@ def _si_text(el) -> str:
     return "".join(buf)
 
 
-def extract_xlsx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
+def extract_xlsx_parts(
+    payload: bytes, zf: zipfile.ZipFile | None = None
+) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, cells_decoded, spans). Sheets in workbook order, each as its
     name line followed by rows of tab-joined cell values (the xls-leg
     conventions; numbers through the shared _fmt_number)."""
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    if zf is None:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return extract_xlsx_parts(payload, zf=z)
+    if True:
         wb = _read_member(zf, "xl/workbook.xml")
         if not wb:
             return "", 0, []
@@ -415,12 +430,17 @@ _SLIDE_RE = re.compile(r"^ppt/slides/slide([0-9]+)\.xml$")
 _NOTES_RE = re.compile(r"^ppt/notesSlides/notesSlide([0-9]+)\.xml$")
 
 
-def extract_pptx_parts(payload: bytes) -> tuple[str, int, list[tuple[str, int, int]]]:
+def extract_pptx_parts(
+    payload: bytes, zf: zipfile.ZipFile | None = None
+) -> tuple[str, int, list[tuple[str, int, int]]]:
     """(text, runs_decoded, spans). Slides in numeric order, then notes
     slides (the legacy PPT leg extracts notes text too,
     PowerpointDocument.cs:398-412); each a:p paragraph is a line (a:t
     runs concatenated, a:br -> newline)."""
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    if zf is None:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return extract_pptx_parts(payload, zf=z)
+    if True:
         slides = []
         for name in zf.namelist():
             m = _SLIDE_RE.match(name)
