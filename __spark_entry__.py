@@ -11,6 +11,7 @@ in tests/ (206 reference fixtures).
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -122,10 +123,30 @@ def _scatter_small(df: DataFrame, spark: SparkSession) -> DataFrame:
     as TWO waves of Arrow workers on 16 slots — measured 0.70 s vs 0.38 s
     for the identical one-wave kernel (optimization round 6, guide §2.6
     stragglers/idle capacity). Derived from the session conf, so any
-    cluster override keeps the scatter aligned."""
+    cluster override keeps the scatter aligned.
+
+    The split-count probe estimates Σ ceil(file_size / maxPartitionBytes)
+    from the scan's file listing: the exact df.rdd.getNumPartitions()
+    built a full RDD conversion costing ~45 ms of py4j per query build
+    (measured this round). The estimate errs only where Spark would PACK
+    many small files below the slot count — a region where scattering is
+    harmless anyway; non-local or unlistable inputs fall back to the
+    exact probe."""
     task_cpus = int(spark.conf.get("spark.task.cpus", "1") or "1")
     n = max(1, spark.sparkContext.defaultParallelism // task_cpus)
-    if df.rdd.getNumPartitions() < n:
+    try:
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+        splits = 0
+        for f in df.inputFiles():
+            path = f[7:] if f.startswith("file:") and f[5:7] == "//" else f
+            splits += max(1, -(-os.path.getsize(path) // max_bytes))
+            if splits >= n:
+                return df
+    except (OSError, ValueError):
+        splits = df.rdd.getNumPartitions()
+    if splits < n:
         return df.repartition(n)
     return df
 
@@ -911,10 +932,11 @@ def _q_media_image_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel means / maxes / mins from the arithmetic alone. Every emitted
     value is an exact multiple of 1/64 — float32-exact, so no rounding
     slack is hiding drift."""
-    docs = (
+    docs = _scatter_small(
         _table(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") < 200)
+        .where(F.col("doc_id") < 200),
+        spark,
     )
 
     def synth(batches):
@@ -925,12 +947,13 @@ def _q_media_image_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "payload": []}
+            y, x, c = np.meshgrid(
+                np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+            )
+            base = y * 3 + x * 5 + c * 11
             for d in pdf["doc_id"].values:
                 d = int(d)
-                y, x, c = np.meshgrid(
-                    np.arange(8), np.arange(8), np.arange(3), indexing="ij"
-                )
-                img = ((d * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                img = ((d * 7 + base) % 256).astype(np.uint8)
                 payload = (
                     encode_png(img, filter_type=d % 5)
                     if d % 2 == 0
@@ -967,10 +990,11 @@ def _q_media_audio_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (= q/32768 exactly — constant-magnitude wave), zero-crossing rate
     (= floor(255/p)*8000/256) and duration from the arithmetic alone.
     Spectral centroid is excluded (FFT is not portably SQL-expressible)."""
-    docs = (
+    docs = _scatter_small(
         _table(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") < 200)
+        .where(F.col("doc_id") < 200),
+        spark,
     )
 
     def synth(batches):
@@ -1090,10 +1114,11 @@ def _q_media_image_dhash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, including the signed-int64 wrap of the top bit. Pool gaps are
     multiples of 1/12, three orders above float32 rounding — no boundary
     flakiness."""
-    docs = (
+    docs = _scatter_small(
         _table(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") < 200)
+        .where(F.col("doc_id") < 200),
+        spark,
     )
 
     def synth(batches):
@@ -1104,12 +1129,13 @@ def _q_media_image_dhash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = {"media_id": [], "payload": []}
+            y, x, c = np.meshgrid(
+                np.arange(16), np.arange(18), np.arange(3), indexing="ij"
+            )
+            base = y * 3 + x * 5 + c * 11
             for d in pdf["doc_id"].values:
                 d = int(d)
-                y, x, c = np.meshgrid(
-                    np.arange(16), np.arange(18), np.arange(3), indexing="ij"
-                )
-                img = ((d * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                img = ((d * 7 + base) % 256).astype(np.uint8)
                 rows["media_id"].append(f"d-{d:06d}")
                 rows["payload"].append(
                     encode_png(img, filter_type=d % 5)
@@ -1127,10 +1153,11 @@ def _q_media_thumbnails_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL decode + 4x4 mean-pool + uint8 cast, compared as hex strings.
     Pool means are exact quarters, so the uint8 truncation is the integer
     division S // 4 of the 4-pixel sum — stated byte-for-byte in SQL."""
-    docs = (
+    docs = _scatter_small(
         _table(spark, sf_dir, "documents")
         .select("doc_id")
-        .where(F.col("doc_id") < 200)
+        .where(F.col("doc_id") < 200),
+        spark,
     )
 
     def synth(batches):
@@ -1141,12 +1168,13 @@ def _q_media_thumbnails_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = {"media_id": [], "kind": [], "payload": []}
+            y, x, c = np.meshgrid(
+                np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+            )
+            base = y * 3 + x * 5 + c * 11
             for d in pdf["doc_id"].values:
                 d = int(d)
-                y, x, c = np.meshgrid(
-                    np.arange(8), np.arange(8), np.arange(3), indexing="ij"
-                )
-                img = ((d * 7 + y * 3 + x * 5 + c * 11) % 256).astype(np.uint8)
+                img = ((d * 7 + base) % 256).astype(np.uint8)
                 rows["media_id"].append(f"d-{d:06d}")
                 rows["kind"].append("image")
                 rows["payload"].append(
