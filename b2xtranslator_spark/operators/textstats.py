@@ -527,21 +527,21 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 512) -> DataFrame:
     )
 
 
-def row_signals(documents: DataFrame) -> DataFrame:
-    """ALL row-local corpus signals in ONE projection over one scan —
-    the shared featurizer behind corpus_filter, corpus_report and the
-    learned quality model (VERDICT r05 "single-pass row signals").
+_ROW_SIGNAL_COLS = None
 
-    Columns: doc_id, n_chars_m, n_words, alpha_ratio, punct_ratio,
-    mean_word_len, quality (the quality_score block), n_lines,
-    dup_line_frac, top_word_frac, top_bigram_frac (the repetition_stats
-    block), pred_lang, marker_hits (the language_id block), fp (the
-    content fingerprint) and log_n_chars — every value IDENTICAL to the
-    standalone operator's output (the expressions are the same; only the
-    doc_id joins between them are gone). Zero shuffle: consumers that need
-    cross-document state (the exact-dup keeper, the corpus aggregate) add
-    exactly one exchange of these small fixed-width rows instead of
-    re-scanning the corpus per signal."""
+
+def _row_signal_cols():
+    """Build-once memo of the row_signals column sets. The expressions are
+    STATIC (they reference fixed column names, no parameters), but building
+    them through the column API costs ~0.5 s of py4j round trips (~2900
+    messages, measured optimization round 6) — so the immutable Column
+    objects are constructed once per driver process and reused; each query
+    still constructs its own plan from them. No data, plan, or result is
+    cached — only unresolved expression trees, the same objects a
+    module-level `F.col("x") + 1` constant would hold."""
+    global _ROW_SIGNAL_COLS
+    if _ROW_SIGNAL_COLS is not None:
+        return _ROW_SIGNAL_COLS
     lines = F.filter(
         F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
@@ -555,17 +555,25 @@ def row_signals(documents: DataFrame) -> DataFrame:
     )
     # stage every reused array ONCE (the bound-column discipline of
     # repetition_stats: unbound sorts/filters re-evaluate per element)
-    staged = documents.select(
-        "doc_id",
-        "text",
+    stage1 = [
+        F.col("doc_id"),
+        F.col("text"),
         ws.alias("_ws"),
         lines.alias("_lines"),
         n_tokens.alias("_n_tokens"),
         F.array_sort(ws).alias("_sw"),
         F.array_sort(bigrams).alias("_sb"),
-    )
-    staged = _with_rle_pairs(staged, "_sw", "_pw")
-    staged = _with_rle_pairs(staged, "_sb", "_pb")
+    ]
+    carry1 = [F.col(c) for c in
+              ("doc_id", "text", "_ws", "_lines", "_n_tokens", "_sw", "_sb")]
+    stage2 = carry1 + [
+        _run_starts(F.col("_sw")).alias("_stw"),
+        _run_starts(F.col("_sb")).alias("_stb"),
+    ]
+    stage3 = carry1 + [
+        _pairs_from_starts(F.col("_sw"), F.col("_stw")).alias("_pw"),
+        _pairs_from_starts(F.col("_sb"), F.col("_stb")).alias("_pb"),
+    ]
 
     words = F.col("_ws")
     # quality_score block
@@ -624,8 +632,8 @@ def row_signals(documents: DataFrame) -> DataFrame:
         .when(a["lang"] > b["lang"], 1)
         .otherwise(0),
     )[0]
-    return staged.select(
-        "doc_id",
+    final = [
+        F.col("doc_id"),
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -640,6 +648,34 @@ def row_signals(documents: DataFrame) -> DataFrame:
         best["hits"].cast("int").alias("marker_hits"),
         _content_md5().alias("fp"),
         F.log1p(F.length("text")).alias("log_n_chars"),
+    ]
+    _ROW_SIGNAL_COLS = (stage1, stage2, stage3, final)
+    return _ROW_SIGNAL_COLS
+
+
+def row_signals(documents: DataFrame) -> DataFrame:
+    """ALL row-local corpus signals in ONE projection over one scan —
+    the shared featurizer behind corpus_filter, corpus_report and the
+    learned quality model (VERDICT r05 "single-pass row signals").
+
+    Columns: doc_id, n_chars_m, n_words, alpha_ratio, punct_ratio,
+    mean_word_len, quality (the quality_score block), n_lines,
+    dup_line_frac, top_word_frac, top_bigram_frac (the repetition_stats
+    block), pred_lang, marker_hits (the language_id block), fp (the
+    content fingerprint) and log_n_chars — every value IDENTICAL to the
+    standalone operator's output (the expressions are the same; only the
+    doc_id joins between them are gone). Zero shuffle: consumers that need
+    cross-document state (the exact-dup keeper, the corpus aggregate) add
+    exactly one exchange of these small fixed-width rows instead of
+    re-scanning the corpus per signal. The chained projections collapse
+    into one stage; the column sets come from the _row_signal_cols
+    build-once memo."""
+    stage1, stage2, stage3, final = _row_signal_cols()
+    return (
+        documents.select(*stage1)
+        .select(*stage2)
+        .select(*stage3)
+        .select(*final)
     )
 
 
