@@ -80,6 +80,35 @@ def _pairs_from_starts(s, starts):
     )
 
 
+def _max_run(sorted_col):
+    """Length of the longest equal-element run in a pre-sorted bound array
+    column — ONE interpreted fold (struct accumulator) instead of the RLE
+    starts/pairs passes (measured 0.29 s vs 0.40 s for the word column on
+    the bench corpus, optimization round 6); integer-identical to
+    -array_min(negc) over _with_rle_pairs output, 0 on empty arrays.
+    _with_rle_pairs stays for consumers that need the full (count, value)
+    pairs (top_tokens_sketch)."""
+    return F.aggregate(
+        sorted_col,
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic)."""
     return documents.select(
@@ -363,9 +392,9 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         ),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    # STAGE the sorted arrays as bound columns before the run-length pass:
-    # the run-length lambdas index into them per element, and an unbound
-    # array_sort subtree would re-sort per element (the O(n^2) trap)
+    # STAGE the sorted arrays as bound columns before the run-length fold:
+    # an unbound array_sort subtree would re-sort per element (the O(n^2)
+    # trap); the max-run itself is one fold per array (_max_run)
     staged = documents.select(
         "doc_id",
         lines.alias("_lines"),
@@ -373,29 +402,18 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         F.array_sort(ws).alias("_sw"),
         F.array_sort(bigrams).alias("_sb"),
     )
-    staged = _with_rle_pairs(staged, "_sw", "_pw")
-    staged = _with_rle_pairs(staged, "_sb", "_pb")
     n_lines = F.size(F.col("_lines"))
     dup_line_frac = F.when(
         n_lines > F.lit(0),
         F.lit(1.0) - F.size(F.array_distinct(F.col("_lines"))) / n_lines,
     ).otherwise(F.lit(0.0)).cast("double")
     denom = F.greatest(F.col("_n_tokens"), F.lit(1))
-
-    def _max_count(pairs_col):
-        return F.coalesce(
-            -F.array_min(
-                F.transform(F.col(pairs_col), lambda p: p["negc"])
-            ),
-            F.lit(0),
-        )
-
-    top_word_frac = (_max_count("_pw") / denom).cast("double")
+    top_word_frac = (_max_run(F.col("_sw")) / denom).cast("double")
     # overlapping occurrences ('a a a a a': 4 x 'a a' over 5 tokens) can push
     # 2*count past the token total — clamp to keep the documented [0, 1]
     # "fraction of tokens covered" contract on degenerate repetition
     top_bigram_frac = F.least(
-        (F.lit(2) * _max_count("_pb") / denom).cast("double"),
+        (F.lit(2) * _max_run(F.col("_sb")) / denom).cast("double"),
         F.lit(1.0),
     )
     return staged.select(
@@ -564,16 +582,6 @@ def _row_signal_cols():
         F.array_sort(ws).alias("_sw"),
         F.array_sort(bigrams).alias("_sb"),
     ]
-    carry1 = [F.col(c) for c in
-              ("doc_id", "text", "_ws", "_lines", "_n_tokens", "_sw", "_sb")]
-    stage2 = carry1 + [
-        _run_starts(F.col("_sw")).alias("_stw"),
-        _run_starts(F.col("_sb")).alias("_stb"),
-    ]
-    stage3 = carry1 + [
-        _pairs_from_starts(F.col("_sw"), F.col("_stw")).alias("_pw"),
-        _pairs_from_starts(F.col("_sb"), F.col("_stb")).alias("_pb"),
-    ]
 
     words = F.col("_ws")
     # quality_score block
@@ -601,18 +609,9 @@ def _row_signal_cols():
         F.lit(1.0) - F.size(F.array_distinct(F.col("_lines"))) / n_lines,
     ).otherwise(F.lit(0.0)).cast("double")
     denom = F.greatest(F.col("_n_tokens"), F.lit(1))
-
-    def _max_count(pairs_col):
-        return F.coalesce(
-            -F.array_min(
-                F.transform(F.col(pairs_col), lambda p: p["negc"])
-            ),
-            F.lit(0),
-        )
-
-    top_word_frac = (_max_count("_pw") / denom).cast("double")
+    top_word_frac = (_max_run(F.col("_sw")) / denom).cast("double")
     top_bigram_frac = F.least(
-        (F.lit(2) * _max_count("_pb") / denom).cast("double"),
+        (F.lit(2) * _max_run(F.col("_sb")) / denom).cast("double"),
         F.lit(1.0),
     )
     # language_id block
@@ -649,7 +648,7 @@ def _row_signal_cols():
         _content_md5().alias("fp"),
         F.log1p(F.length("text")).alias("log_n_chars"),
     ]
-    _ROW_SIGNAL_COLS = (stage1, stage2, stage3, final)
+    _ROW_SIGNAL_COLS = (stage1, final)
     return _ROW_SIGNAL_COLS
 
 
@@ -670,13 +669,8 @@ def row_signals(documents: DataFrame) -> DataFrame:
     re-scanning the corpus per signal. The chained projections collapse
     into one stage; the column sets come from the _row_signal_cols
     build-once memo."""
-    stage1, stage2, stage3, final = _row_signal_cols()
-    return (
-        documents.select(*stage1)
-        .select(*stage2)
-        .select(*stage3)
-        .select(*final)
-    )
+    stage1, final = _row_signal_cols()
+    return documents.select(*stage1).select(*final)
 
 
 def corpus_filter(
