@@ -1149,3 +1149,93 @@ def test_write_training_shards_deterministic_one_file_per_shard(spark, tmp_path)
     manifest2 = {r["shard"]: (r["n_seqs"], r["n_docs"]) for r in
                  write_training_shards(packed, out, seqs_per_shard=4).collect()}
     assert manifest2 == {k: (v["n_seqs"], v["n_docs"]) for k, v in manifest.items()}
+
+
+def test_round6_sql_rewrites_match_column_api_formulations(spark):
+    """Optimization round 6 rebuilt three hot expressions as parsed SQL /
+    fold form for build- and exec-speed; each must stay bit-identical to
+    the original column-API formulation on adversarial data (not just the
+    oracle corpus)."""
+    import random
+
+    random.seed(42)
+
+    # simhash: one parsed expression vs the 60-agg column build
+    from b2xtranslator_spark.operators.dedup import (
+        _norm_text,
+        _token_hash60,
+        simhash,
+    )
+
+    words = ["the", "café", "東京", "naïve", "zz"] + [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(random.choices(words, k=random.randint(0, 120))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bits = 60
+    tok = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("w")
+    ).where(F.length("w") > 0)
+    h = _token_hash60(F.col("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    old = voted.select("doc_id", sim.alias("simhash"))
+    new = simhash(docs)
+    assert new.exceptAll(old).count() + old.exceptAll(new).count() == 0
+
+    # lsh_bucket: one parsed expression vs the per-plane column build
+    import numpy as np
+
+    from b2xtranslator_spark.operators.similarity import (
+        _hyperplane_sign,
+        lsh_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    vec_rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 40)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(vec_rows, "vec_id long, embedding array<float>")
+    bucket = F.lit(0)
+    for p in range(8):
+        bucket = bucket * 2 + _hyperplane_sign(F.col("embedding"), p)
+    old_b = emb.select("vec_id", bucket.alias("bucket"))
+    new_b = lsh_bucket(emb, n_planes=8).select("vec_id", "bucket")
+    assert new_b.exceptAll(old_b).count() + old_b.exceptAll(new_b).count() == 0
+
+    # _max_run fold vs the run-length-pairs derivation, incl. edge shapes
+    from b2xtranslator_spark.operators.textstats import (
+        _max_run,
+        _with_rle_pairs,
+    )
+
+    cases = [
+        (0, []),
+        (1, ["a"]),
+        (2, ["a"] * 50),
+        (3, sorted(["a", "b"] * 30)),
+        (4, sorted(["", "", "x"])),
+        (5, sorted(random.choices(["a", "b", "c", "d"], k=200))),
+    ]
+    arr = spark.createDataFrame(cases, "id long, s array<string>")
+    newr = arr.select("id", _max_run(F.col("s")).alias("m"))
+    st = _with_rle_pairs(arr, "s", "_p")
+    oldr = st.select(
+        "id",
+        F.coalesce(
+            -F.array_min(F.transform(F.col("_p"), lambda p: p["negc"])),
+            F.lit(0),
+        ).alias("m"),
+    )
+    assert newr.exceptAll(oldr).count() + oldr.exceptAll(newr).count() == 0
